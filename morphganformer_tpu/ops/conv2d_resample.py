@@ -1,0 +1,141 @@
+"""2D convolution with fused FIR up/downsampling, TPU-native.
+
+Behavioral spec: `torch_utils/ops/conv2d_resample.py` in the MorphGANformer
+reference (conv2d_resample.py:51-146): pad once w.r.t. the upsampled image,
+then zero-insert-upsample -> FIR -> convolve -> decimate, with fast paths that
+reorder the stages when mathematically equivalent.
+
+TPU-first redesign (not a translation):
+  * NHWC activations, HWIO weights — the layouts XLA tiles onto the MXU.
+  * The upsampling fast path is a single base-dilated `lax.conv_general_dilated`
+    (`lhs_dilation=up`) followed by the residual FIR pass, replacing the
+    reference's conv_transpose2d + weight-transpose gymnastics
+    (conv2d_resample.py:117-135). Derivation: valid correlations compose in
+    either order, and padding p moves across a correlation with kernel size k
+    as p -> p-(k-1) around a full correlation; so
+        conv(upfirdn(x, f, up, p, up^2))
+      = upfirdn(conv_full(dilate_up(x), w), f, pad=p-(k-1), gain=up^2).
+  * 1x1 kernels reorder conv/resample exactly as the reference fast paths do
+    (downsample-first / upsample-last) to keep convs at the cheap resolution.
+
+Gradients (including the reference's conv2d_gradfix arbitrary-order behavior,
+conv2d_gradfix.py:17-35) come from JAX autodiff for free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from morphganformer_tpu.ops.upfirdn2d import (
+    _get_filter_size,
+    _parse_padding,
+    upfirdn2d,
+)
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x, w, *, stride=1, padding=((0, 0), (0, 0)), groups=1, lhs_dilation=(1, 1),
+          flip_weight=True):
+    """Grouped 2D correlation. `flip_weight=False` = true convolution
+    (spatially flipped kernel), matching reference _conv2d_wrapper:21-46."""
+    if not flip_weight:
+        w = w[::-1, ::-1]
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        rhs_dilation=(1, 1),
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+    )
+
+
+def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
+                    flip_weight=True, flip_filter=False):
+    """2D convolution with optional FIR up/downsampling.
+
+    Args:
+        x: input activations, NHWC [N, H, W, C_in].
+        w: weights, HWIO [kh, kw, C_in // groups, C_out].
+        f: FIR filter from `setup_filter`, or None (identity).
+        up / down: integer resampling factors.
+        padding: int / [x,y] / [x0,x1,y0,y1], w.r.t. the upsampled image.
+        groups: feature group count.
+        flip_weight: False = convolution, True = correlation.
+        flip_filter: False = convolution, True = correlation (for f).
+
+    Returns NHWC output. Semantics match reference conv2d_resample.py:51-146
+    with NCHW<->NHWC / OIHW<->HWIO layout translation.
+    """
+    assert x.ndim == 4 and w.ndim == 4
+    assert isinstance(up, int) and up >= 1
+    assert isinstance(down, int) and down >= 1
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    fw, fh = _get_filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+
+    # Adjust padding for up/downsampling (reference conv2d_resample.py:90-100).
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+
+    # Fast path: 1x1 + downsampling only => downsample first, then convolve.
+    if kw == 1 and kh == 1 and down > 1 and up == 1:
+        x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv(x, w, groups=groups, flip_weight=flip_weight)
+
+    # Fast path: 1x1 + upsampling only => convolve first, then upsample.
+    if kw == 1 and kh == 1 and up > 1 and down == 1:
+        x = _conv(x, w, groups=groups, flip_weight=flip_weight)
+        return upfirdn2d(x, f, up=up, padding=[px0, px1, py0, py1], gain=up ** 2,
+                         flip_filter=flip_filter)
+
+    # Fast path: downsampling only => FIR then strided conv.
+    if down > 1 and up == 1:
+        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv(x, w, stride=down, groups=groups, flip_weight=flip_weight)
+
+    # Fast path: upsampling => one base-dilated conv, then the residual FIR.
+    if up > 1:
+        # Full correlation over the torch-style zero-inserted input: lhs
+        # dilation gives (H-1)*up+1 samples; the trailing up-1 zeros fold into
+        # high padding alongside the kernel-size-1 "full" margin.
+        x = _conv(
+            x, w, groups=groups, flip_weight=flip_weight,
+            lhs_dilation=(up, up),
+            padding=((kh - 1, kh - 1 + up - 1), (kw - 1, kw - 1 + up - 1)),
+        )
+        x = upfirdn2d(
+            x, f,
+            padding=[px0 - (kw - 1), px1 - (kw - 1), py0 - (kh - 1), py1 - (kh - 1)],
+            gain=up ** 2, flip_filter=flip_filter,
+        )
+        if down > 1:
+            x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+        return x
+
+    # Fast path: plain conv with symmetric non-negative padding.
+    if up == 1 and down == 1 and px0 == px1 and py0 == py1 and px0 >= 0 and py0 >= 0:
+        return _conv(x, w, padding=((py0, py0), (px0, px0)), groups=groups,
+                     flip_weight=flip_weight)
+
+    # Generic fallback (reference conv2d_resample.py:141-146).
+    x = upfirdn2d(x, f if up > 1 else None, up=up, padding=[px0, px1, py0, py1],
+                  gain=up ** 2, flip_filter=flip_filter)
+    x = _conv(x, w, groups=groups, flip_weight=flip_weight)
+    if down > 1:
+        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+    return x

@@ -1,0 +1,19 @@
+"""Test configuration: run everything on CPU with 8 virtual devices.
+
+Multi-device tests exercise the same `jax.sharding.Mesh` code paths used on
+real TPU slices (SURVEY.md §4: multi-device tests via
+xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Determinism + no accidental accelerator use in tests.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
