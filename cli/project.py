@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Project a photo into the GANformer latent space.
+
+One CLI replaces the reference's 21 projection scripts (SURVEY.md §2.6):
+the loss stack is configured with --loss ("mse", "lpips+mse",
+"lpips+0.01*wing+1*mse", ...). Hyperparameter flags and defaults mirror
+1024_example_MSE.py:185-205; outputs keep the reference conventions:
+best image as sample_{step:06d}_{loss:.4f}.png, latent as a .mat {'w': ...}.
+
+Unlike the reference (whose projection severs the autograd graph and is a
+noisy random search), this is true jitted gradient descent through G.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run(args):
+    import jax
+
+    from cli.generate import get_model
+    from morphganformer_tpu.losses.stack import build_loss_stack, parse_loss_spec
+    from morphganformer_tpu.morph import save_latent_mat
+    from morphganformer_tpu.projection.engine import (
+        ProjectionConfig, latent_stats, project)
+    from morphganformer_tpu.utils.image import (
+        crop_max_rectangle, load_target, to_pil)
+
+    print("Loading networks...")
+    cfg, model, variables = get_model(args.model)
+    target = load_target(args.img, size=cfg.img_resolution)
+
+    pcfg = ProjectionConfig(
+        steps=args.step, lr=args.lr, lr_rampup=args.lr_rampup,
+        lr_rampdown=args.lr_rampdown, noise=args.noise,
+        noise_ramp=args.noise_ramp, truncation_psi=args.truncation_psi,
+        n_mean_latent=args.n_mean_latent, chunk=args.chunk)
+
+    weights = parse_loss_spec(args.loss)
+    loss_fn = build_loss_stack(weights)
+
+    rng = jax.random.PRNGKey(args.seed)
+    rng, sub = jax.random.split(rng)
+    mean, std = latent_stats(model, variables, cfg, sub,
+                             n_mean_latent=args.n_mean_latent)
+
+    def progress(step, loss, best):
+        print(f"  step {step}/{args.step}  loss {loss:.5f}  min_loss {best:.5f}",
+              flush=True)
+
+    result = project(model, variables, target, loss_fn, pcfg, mean, std,
+                     rng=rng, progress=progress)
+
+    os.makedirs(args.path_to_gen, exist_ok=True)
+    img_path = os.path.join(
+        args.path_to_gen,
+        "sample_{:06d}_{:.4f}.png".format(result.best_step, result.best_loss))
+    crop_max_rectangle(to_pil(result.best_img[0]), args.ratio).save(img_path)
+    print(f"best image -> {img_path}")
+
+    latent_path = args.save_latent or os.path.join(args.path_to_gen, "w.mat")
+    save_latent_mat(latent_path, jax.device_get(result.latent[0]))
+    print(f"latent -> {latent_path}")
+    return result
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="GANformer latent projection")
+    p.add_argument("--model", required=True)
+    p.add_argument("--img", required=True, help="Target photo path")
+    p.add_argument("--loss", default="mse",
+                   help='Loss stack spec, e.g. "mse", "lpips+mse", '
+                        '"lpips+0.01*wing+1*mse"')
+    p.add_argument("--path_to_gen", default="images/projection")
+    p.add_argument("--size", type=int, default=None,
+                   help="Unused; resolution comes from the checkpoint")
+    p.add_argument("--n_mean_latent", type=int, default=10000)
+    p.add_argument("--step", type=int, default=5000)
+    p.add_argument("--lamda", type=float, default=0.5)
+    p.add_argument("--lr_rampup", type=float, default=0.05)
+    p.add_argument("--lr_rampdown", type=float, default=0.25)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--noise", type=float, default=0.05)
+    p.add_argument("--noise_ramp", type=float, default=0.75)
+    p.add_argument("--ratio", type=float, default=1.0)
+    p.add_argument("--truncation_psi", type=float, default=0.7)
+    p.add_argument("--noise_regularize", type=float, default=1e5)
+    p.add_argument("--w_plus", action="store_true")
+    p.add_argument("--chunk", type=int, default=250)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-latent", default=None)
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

@@ -16,4 +16,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend with
+# jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
+# var — override it back so tests really run on the 8-device virtual CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.device_count() >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}")

@@ -1,0 +1,275 @@
+"""Model-layer tests: static bookkeeping, forward shapes, and semantic
+invariants of the GANformer generator/discriminator (spec: reference
+training/networks.py; see SURVEY.md §2.3)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morphganformer_tpu.models import (
+    Discriminator,
+    DiscriminatorConfig,
+    GANformerConfig,
+    Generator,
+    init_generator,
+)
+from morphganformer_tpu.models.config import AttentionConfig, MappingConfig
+
+
+def small_cfg(**over):
+    """A tiny FFHQ-like config (all the same switches, 32x32 output)."""
+    base = dict(
+        img_resolution=32, z_dim=8, w_dim=8, k=5, channel_base=512,
+        channel_max=64, end_res=4,
+        mapping=MappingConfig(num_layers=4, lrmul=0.01),
+        attention=AttentionConfig(),
+    )
+    base.update(over)
+    return GANformerConfig(**base)
+
+
+# ---------------- static structure ----------------
+
+def test_num_ws_ffhq1024():
+    """FFHQ-1024: 9 blocks -> 1 + 2*7 + 3(last incl conv_last) + 1 torgb = 19
+    (reference networks.py:1207-1218 bookkeeping)."""
+    cfg = GANformerConfig()
+    assert cfg.block_resolutions == (4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    assert cfg.num_ws == 19
+
+
+def test_channels_match_reference_formula():
+    cfg = GANformerConfig()
+    assert cfg.channels(4) == 512
+    assert cfg.channels(64) == 512
+    assert cfg.channels(128) == 256
+    assert cfg.channels(1024) == 32
+
+
+def test_attention_active_range():
+    cfg = GANformerConfig()  # start_res=0, end_res=8
+    assert cfg.use_attention(4) and cfg.use_attention(128)
+    assert not cfg.use_attention(256) and not cfg.use_attention(1024)
+
+
+def test_w_slices_share_torgb_with_next_block():
+    cfg = GANformerConfig(architecture="skip")
+    slices = cfg.block_w_slices()
+    # Each skip-arch block reads num_conv+1 ws but advances by num_conv.
+    starts = [s for s, _ in slices]
+    assert starts[0] == 0
+    for (s0, c0), (s1, _), res in zip(slices, slices[1:], cfg.block_resolutions):
+        assert s1 == s0 + cfg.block_num_conv(res)
+        assert c0 == cfg.block_num_conv(res) + 1  # skip arch: torgb everywhere
+
+
+def test_config_json_roundtrip():
+    cfg = small_cfg()
+    cfg2 = GANformerConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+# ---------------- generator forward ----------------
+
+@pytest.fixture(scope="module")
+def gen_and_vars():
+    cfg = small_cfg()
+    model, variables = init_generator(cfg, seed=0, batch=2)
+    return cfg, model, variables
+
+
+def test_generator_forward_shape(gen_and_vars):
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.k, cfg.z_dim))
+    img = model.apply(variables, z, noise_mode="none")
+    assert img.shape == (2, 32, 32, 3)
+    assert img.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_generator_jit_and_determinism(gen_and_vars):
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.k, cfg.z_dim))
+    fwd = jax.jit(lambda v, zz: model.apply(v, zz, noise_mode="const"))
+    a = fwd(variables, z)
+    b = fwd(variables, z)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_generator_ws_path_matches_mapping_then_synthesis(gen_and_vars):
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.k, cfg.z_dim))
+    ws = model.apply(variables, z, method=Generator.run_mapping)
+    assert ws.shape == (2, cfg.k, cfg.num_ws, cfg.w_dim)
+    img2, _ = model.apply(variables, ws, noise_mode="none",
+                          method=Generator.run_synthesis)
+    img1 = model.apply(variables, z, noise_mode="none")
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+
+
+def test_truncation_psi_zero_collapses_to_w_avg(gen_and_vars):
+    """psi=0 => ws == w_avg for every input (reference networks.py:935-941)."""
+    cfg, model, variables = gen_and_vars
+    z1 = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.k, cfg.z_dim))
+    z2 = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.k, cfg.z_dim))
+    w1 = model.apply(variables, z1, truncation_psi=0.0, method=Generator.run_mapping)
+    w2 = model.apply(variables, z2, truncation_psi=0.0, method=Generator.run_mapping)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-6)
+
+
+def test_truncation_cutoff_only_truncates_head(gen_and_vars):
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, cfg.k, cfg.z_dim))
+    w_full = model.apply(variables, z, method=Generator.run_mapping)
+    w_cut = model.apply(variables, z, truncation_psi=0.5, truncation_cutoff=2,
+                        method=Generator.run_mapping)
+    np.testing.assert_allclose(np.asarray(w_cut[:, :, 2:]),
+                               np.asarray(w_full[:, :, 2:]), atol=1e-6)
+    assert not np.allclose(np.asarray(w_cut[:, :, :2]), np.asarray(w_full[:, :, :2]))
+
+
+def test_return_att_shapes(gen_and_vars):
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(7), (2, cfg.k, cfg.z_dim))
+    img, att = model.apply(variables, z, noise_mode="none", return_att=True)
+    # [B, k-1, L, heads, H, W]; attention at res 4 and 8 -> 1 + 2 layers.
+    assert att.shape[0] == 2 and att.shape[1] == cfg.k - 1
+    assert att.shape[-2:] == (32, 32)
+    # Attention probabilities are non-negative.
+    assert float(jnp.min(att)) >= 0.0
+
+
+def test_attention_probs_sum_to_one(gen_and_vars):
+    """Softmax over the latent axis -> each pixel distributes 1.0 of
+    attention across the k-1 components."""
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(8), (1, cfg.k, cfg.z_dim))
+    _, att = model.apply(variables, z, noise_mode="none", return_att=True)
+    # att: [B, T, L, N, H, W]; sum over T == 1 everywhere.
+    sums = np.asarray(jnp.sum(att, axis=1))
+    np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+
+
+def test_noise_modes(gen_and_vars):
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(9), (1, cfg.k, cfg.z_dim))
+    # noise_strength params init to 0 (reference networks.py:986), so bump
+    # them to make the noise paths observable.
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, v: jnp.ones_like(v) * 0.3
+        if any(getattr(p, "key", None) == "noise_strength" for p in path) else v,
+        variables)
+    img_none = model.apply(variables, z, noise_mode="none")
+    img_const = model.apply(variables, z, noise_mode="const")
+    r1 = model.apply(variables, z, noise_mode="random",
+                     rngs={"noise": jax.random.PRNGKey(10)})
+    r2 = model.apply(variables, z, noise_mode="random",
+                     rngs={"noise": jax.random.PRNGKey(11)})
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+    assert not np.allclose(np.asarray(img_none), np.asarray(img_const))
+
+
+def test_global_latent_drives_styles(gen_and_vars):
+    """Changing only the global component changes the image; the global
+    component is ws[:, -1] (reference networks.py:108-113)."""
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(12), (1, cfg.k, cfg.z_dim))
+    z2 = z.at[:, -1].add(1.0)
+    a = model.apply(variables, z, noise_mode="none")
+    b = model.apply(variables, z2, noise_mode="none")
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("arch", ["skip", "orig", "resnet"])
+def test_all_architectures_forward(arch):
+    cfg = small_cfg(architecture=arch)
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
+    img = model.apply(variables, z, noise_mode="none")
+    assert img.shape == (1, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_stylegan_mode_no_transformer():
+    """transformer=False = plain StyleGAN path (reference supports both)."""
+    cfg = small_cfg(transformer=False,
+                    mapping=MappingConfig(num_layers=4, ltnt2ltnt=False))
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
+    img = model.apply(variables, z, noise_mode="none")
+    assert img.shape == (1, 32, 32, 3)
+
+
+def test_latent_stem_mode():
+    cfg = small_cfg(latent_stem=True)
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
+    img = model.apply(variables, z, noise_mode="none")
+    assert img.shape == (1, 32, 32, 3)
+
+
+def test_gradients_flow_to_latent(gen_and_vars):
+    """End-to-end differentiability through G — the property the reference's
+    projection scripts lack (SURVEY.md §2.6) and this framework guarantees."""
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(13), (1, cfg.k, cfg.z_dim))
+
+    def loss(zz):
+        img = model.apply(variables, zz, noise_mode="none")
+        return jnp.mean(img ** 2)
+
+    g = jax.grad(loss)(z)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_w_avg_updates_in_train_mode(gen_and_vars):
+    cfg, model, variables = gen_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(14), (4, cfg.k, cfg.z_dim))
+    _, mutated = model.apply(
+        variables, z, train=True, noise_mode="none",
+        rngs={"noise": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+              "dropout": jax.random.PRNGKey(2)},
+        mutable=["moving_stats"])
+    w_avg = mutated["moving_stats"]["mapping"]["w_avg"]
+    assert float(jnp.abs(w_avg).sum()) > 0  # moved off the zero init
+
+
+# ---------------- discriminator ----------------
+
+def test_discriminator_forward_and_grads():
+    cfg = DiscriminatorConfig(img_resolution=32, channel_base=512, channel_max=64)
+    model = Discriminator(cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1), img)
+    out = model.apply(variables, img)
+    assert out.shape == (4, 1)
+
+    def loss(v):
+        return jnp.mean(model.apply(v, img) ** 2)
+
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_discriminator_conditional():
+    cfg = DiscriminatorConfig(img_resolution=16, channel_base=256,
+                              channel_max=32, c_dim=10)
+    model = Discriminator(cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    c = jax.nn.one_hot(jnp.array([3, 7]), 10)
+    variables = model.init(jax.random.PRNGKey(1), img, c)
+    out = model.apply(variables, img, c)
+    assert out.shape == (2, 1)
+
+
+def test_minibatch_std_constant_batch_gives_zero_feature():
+    from morphganformer_tpu.models.discriminator import minibatch_std
+    x = jnp.ones((4, 8, 8, 6))
+    y = minibatch_std(x, group_size=4, num_channels=1)
+    assert y.shape == (4, 8, 8, 7)
+    np.testing.assert_allclose(np.asarray(y[..., -1]), 1e-4, atol=1e-4)

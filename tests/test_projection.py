@@ -1,0 +1,107 @@
+"""Projection engine tests: true gradient descent through G converges on a
+self-generated target (the property the reference's severed-graph projection
+lacks, SURVEY.md §2.6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morphganformer_tpu.losses.stack import build_loss_stack, parse_loss_spec
+from morphganformer_tpu.models import init_generator
+from morphganformer_tpu.projection.engine import (
+    ProjectionConfig,
+    cosine_ramp_lr,
+    latent_stats,
+    project,
+)
+from tests.test_models import small_cfg
+
+
+def test_cosine_ramp_lr_matches_reference_formula():
+    import math
+    for t in [0.0, 0.01, 0.05, 0.3, 0.7, 0.76, 0.9, 1.0]:
+        ramp = min(1.0, (1 - t) / 0.25)
+        ramp = 0.5 - 0.5 * math.cos(ramp * math.pi)
+        want = 0.1 * ramp * min(1, t / 0.05)
+        got = float(cosine_ramp_lr(jnp.asarray(t), 0.1))
+        assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_parse_loss_spec():
+    assert parse_loss_spec("mse") == {"mse": 1.0}
+    assert parse_loss_spec("lpips+mse") == {"lpips": 1.0, "mse": 1.0}
+    assert parse_loss_spec("lpips+0.01*wing+1*mse") == {
+        "lpips": 1.0, "wing": 0.01, "mse": 1.0}
+
+
+def test_loss_stack_components():
+    loss_fn = build_loss_stack({"mse": 1.0, "ssim": 0.5})
+    a = jnp.zeros((1, 16, 16, 3))
+    b = jnp.ones((1, 16, 16, 3)) * 0.5
+    total, comps = loss_fn(a, b)
+    assert set(comps) == {"mse", "ssim"}
+    assert float(total) == pytest.approx(
+        float(comps["mse"]) + 0.5 * float(comps["ssim"]), rel=1e-6)
+    with pytest.raises(KeyError):
+        build_loss_stack({"nope": 1.0})
+
+
+def test_latent_stats_shapes():
+    cfg = small_cfg()
+    mean, std = latent_stats(None, None, cfg, jax.random.PRNGKey(0),
+                             n_mean_latent=1000)
+    assert mean.shape == (cfg.k, cfg.z_dim)
+    assert np.abs(np.asarray(mean)).mean() < 0.1       # near zero
+    # Reference std is a global scalar ~ sqrt(k * z_dim).
+    assert float(std) == pytest.approx(np.sqrt(cfg.k * cfg.z_dim), rel=0.1)
+
+
+def test_projection_converges_on_self_target():
+    """Project a target the generator itself produced: loss must fall by a
+    large factor within 150 steps — evidence of true end-to-end gradients."""
+    cfg = small_cfg()
+    model, variables = init_generator(cfg, seed=0, batch=1)
+
+    z_true = jax.random.normal(jax.random.PRNGKey(42), (1, cfg.k, cfg.z_dim))
+    target = model.apply(variables, z_true, truncation_psi=0.7,
+                         noise_mode="const")
+
+    mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(1),
+                             n_mean_latent=512)
+    pcfg = ProjectionConfig(steps=150, chunk=50, lr=0.05, n_mean_latent=512)
+    loss_fn = build_loss_stack({"mse": 1.0})
+    result = project(model, variables, target, loss_fn, pcfg, mean, std,
+                     rng=jax.random.PRNGKey(2))
+
+    first = float(result.loss_history[0])
+    assert result.best_loss < first * 0.25, \
+        f"projection failed to converge: {first} -> {result.best_loss}"
+    assert result.latent.shape == (1, cfg.k, cfg.z_dim)
+    assert result.best_img.shape == target.shape
+    assert result.loss_history.shape == (150,)
+    assert "mse" in result.components_history
+    # Best image matches the best loss.
+    mse = float(jnp.mean((result.best_img - target) ** 2))
+    assert mse == pytest.approx(result.best_loss, rel=1e-3)
+
+
+def test_morph_roundtrip():
+    from morphganformer_tpu.morph import (
+        demorph_latent, load_latent_mat, morph_latents, save_latent_mat)
+    import tempfile, os
+
+    rng = np.random.RandomState(0)
+    w1 = rng.randn(17, 32).astype(np.float32)
+    w2 = rng.randn(17, 32).astype(np.float32)
+    morph = morph_latents(w1, w2)
+    np.testing.assert_allclose(morph, 0.5 * w1 + 0.5 * w2, rtol=1e-6)
+    # De-morph recovers the second identity given the first.
+    rec = demorph_latent(morph, w1)
+    np.testing.assert_allclose(rec, w2, rtol=1e-4, atol=1e-5)
+    # .mat round trip (reference output format).
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "w.mat")
+        save_latent_mat(p, w1)
+        back = load_latent_mat(p)
+        np.testing.assert_allclose(back, w1, rtol=1e-6)
