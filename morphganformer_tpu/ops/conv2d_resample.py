@@ -36,6 +36,35 @@ from morphganformer_tpu.ops.upfirdn2d import (
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
+def _compose_kernel_fir(w, f, flip_weight, flip_filter, gain=1.0):
+    """Compose conv kernel w with FIR filter f into one kernel.
+
+    Both stages are correlations; corr(corr(z, w'), f') == corr(z, K) with
+    K[t] = sum_j f'[j] * w'[t - j] (the full convolution of the two kernels),
+    size (kh+fh-1, kw+fw-1). Folding the FIR into the conv removes the
+    full-resolution depthwise pass entirely — the whole resample runs on the
+    MXU as one conv."""
+    if not flip_weight:
+        w = w[::-1, ::-1]
+    if f.ndim == 1:
+        f = jnp.outer(f, f)
+    f = f * gain
+    if not flip_filter:
+        f = f[::-1, ::-1]
+    kh, kw, ci, co = w.shape
+    fh, fw = f.shape
+    # Full convolution of w with f per (ci, co) pair via a depthwise-style
+    # conv: treat w's spatial dims as the image, f as the kernel.
+    w2 = w.reshape(kh, kw, ci * co).transpose(2, 0, 1)[..., None]  # [CC,kh,kw,1]
+    fk = f[::-1, ::-1].astype(w.dtype)[:, :, None, None]           # flip->true conv
+    out = jax.lax.conv_general_dilated(
+        w2, fk, window_strides=(1, 1),
+        padding=((fh - 1, fh - 1), (fw - 1, fw - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    k = out[..., 0].transpose(1, 2, 0).reshape(kh + fh - 1, kw + fw - 1, ci, co)
+    return k
+
+
 def _conv(x, w, *, stride=1, padding=((0, 0), (0, 0)), groups=1, lhs_dilation=(1, 1),
           flip_weight=True):
     """Grouped 2D correlation. `flip_weight=False` = true convolution
@@ -103,25 +132,33 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
         return upfirdn2d(x, f, up=up, padding=[px0, px1, py0, py1], gain=up ** 2,
                          flip_filter=flip_filter)
 
-    # Fast path: downsampling only => FIR then strided conv.
+    # Fast path: downsampling only => ONE strided conv with the FIR composed
+    # into the kernel (stride subsamples the composed correlation).
     if down > 1 and up == 1:
-        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
-        return _conv(x, w, stride=down, groups=groups, flip_weight=flip_weight)
-
-    # Fast path: upsampling => one base-dilated conv, then the residual FIR.
-    if up > 1:
-        # Full correlation over the torch-style zero-inserted input: lhs
-        # dilation gives (H-1)*up+1 samples; the trailing up-1 zeros fold into
-        # high padding alongside the kernel-size-1 "full" margin.
-        x = _conv(
-            x, w, groups=groups, flip_weight=flip_weight,
-            lhs_dilation=(up, up),
-            padding=((kh - 1, kh - 1 + up - 1), (kw - 1, kw - 1 + up - 1)),
+        if f is not None:
+            k = _compose_kernel_fir(w, f, flip_weight, flip_filter)
+        else:
+            k = w if flip_weight else w[::-1, ::-1]
+        return jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), window_strides=(down, down),
+            padding=((py0, py1), (px0, px1)),
+            dimension_numbers=_DIMNUMS, feature_group_count=groups,
         )
-        x = upfirdn2d(
-            x, f,
-            padding=[px0 - (kw - 1), px1 - (kw - 1), py0 - (kh - 1), py1 - (kh - 1)],
-            gain=up ** 2, flip_filter=flip_filter,
+
+    # Fast path: upsampling => ONE base-dilated conv with the FIR composed
+    # into the kernel (see _compose_kernel_fir). The trailing up-1 zeros of
+    # torch-style zero insertion fold into high padding.
+    if up > 1:
+        if f is not None:
+            k = _compose_kernel_fir(w, f, flip_weight, flip_filter,
+                                    gain=float(up ** 2))
+        else:
+            k = (w if flip_weight else w[::-1, ::-1]) * float(up ** 2)
+        x = jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), window_strides=(1, 1),
+            padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),
+            lhs_dilation=(up, up), rhs_dilation=(1, 1),
+            dimension_numbers=_DIMNUMS, feature_group_count=groups,
         )
         if down > 1:
             x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)

@@ -87,10 +87,22 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
                   f, indent=2, default=str)
 
     dataset = ImageFolderDataset(dataset_path, g_cfg.img_resolution)
-    batches = infinite_batches(dataset, t_cfg.batch_size,
-                               shard_index=jax.process_index(),
-                               num_shards=jax.process_count(),
-                               seed=l_cfg.seed)
+    try:
+        # Prefer the native C++ threaded loader; fall back to PIL.
+        from morphganformer_tpu.data.native_loader import (
+            native_available, native_infinite_batches)
+        if native_available() and not dataset.use_labels:
+            batches = native_infinite_batches(
+                dataset_path, g_cfg.img_resolution, t_cfg.batch_size,
+                shard_index=jax.process_index(),
+                num_shards=jax.process_count(), seed=l_cfg.seed)
+        else:
+            raise ImportError
+    except Exception:
+        batches = infinite_batches(dataset, t_cfg.batch_size,
+                                   shard_index=jax.process_index(),
+                                   num_shards=jax.process_count(),
+                                   seed=l_cfg.seed)
 
     mesh = make_data_mesh() if use_mesh and jax.device_count() > 1 else None
     trainer = GANTrainer(g_cfg, d_cfg, t_cfg, mesh=mesh)
