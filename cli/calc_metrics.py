@@ -97,10 +97,15 @@ def main():
     from morphganformer_tpu.metrics.registry import compute_metric, report_metric
 
     cfg, model, variables = get_model(args.model)
-    detector = raw_pixel_detector() if args.detector == "raw" else None
-    if detector is None:
-        raise NotImplementedError(
-            "converted detector loading lands with tools/convert_inception.py")
+    if args.detector == "raw":
+        detector = raw_pixel_detector()
+    else:
+        from morphganformer_tpu.metrics.inception import make_detector
+        from tools.convert_inception import load_inception_npz
+        params = load_inception_npz(args.detector)
+        kind = "probs" if any(m.startswith("is") for m in args.metrics) \
+            else "features"
+        detector = make_detector(params, kind=kind)
 
     for metric in args.metrics:
         dataset = dataset_batches(args.data, cfg.img_resolution,

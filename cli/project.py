@@ -47,12 +47,20 @@ def run(args):
     mean, std = latent_stats(model, variables, cfg, sub,
                              n_mean_latent=args.n_mean_latent)
 
+    # Sequential projection / latent editing: initialize from a stored
+    # latent instead of the prior mean (reference edit_MSE.py:228-231,
+    # where w2 starts from w1).
+    init_latent = None
+    if args.init_latent:
+        from morphganformer_tpu.morph import load_latent_mat
+        init_latent = load_latent_mat(args.init_latent)
+
     def progress(step, loss, best):
         print(f"  step {step}/{args.step}  loss {loss:.5f}  min_loss {best:.5f}",
               flush=True)
 
     result = project(model, variables, target, loss_fn, pcfg, mean, std,
-                     rng=rng, progress=progress)
+                     rng=rng, progress=progress, init_latent=init_latent)
 
     os.makedirs(args.path_to_gen, exist_ok=True)
     img_path = os.path.join(
@@ -92,6 +100,9 @@ def build_parser():
     p.add_argument("--chunk", type=int, default=250)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-latent", default=None)
+    p.add_argument("--init-latent", default=None,
+                   help="Start from a stored .mat latent (sequential "
+                        "projection / editing, reference edit_MSE.py)")
     return p
 
 

@@ -119,3 +119,41 @@ def is50k(detector=None, G=None, max_items=50000, **kw):
     probs = probs_for_generator(detector, G, max_items=max_items, **kw)
     mean, std = core.compute_is_from_probs(probs, num_splits=10)
     return {"is50k_mean": mean, "is50k_std": std}
+
+
+def _ppl(name, space, sampling, G=None, feature_fn=None, max_items=50000,
+         batch=2, **kw):
+    """PPL family (reference metric_main.py ppl_{z,w}{full,end}, batch 2)."""
+    from morphganformer_tpu.metrics.ppl import compute_ppl
+
+    model, variables, cfg = G
+    ppl = compute_ppl(model, variables, cfg, feature_fn,
+                      num_samples=max_items, batch=batch, space=space,
+                      sampling=sampling, crop=kw.get("crop", True))
+    return {name: ppl}
+
+
+@register_metric
+def ppl_zfull(**kw):
+    return _ppl("ppl_zfull", "z", "full", **kw)
+
+
+@register_metric
+def ppl_wfull(**kw):
+    return _ppl("ppl_wfull", "w", "full", **kw)
+
+
+@register_metric
+def ppl_zend(**kw):
+    return _ppl("ppl_zend", "z", "end", **kw)
+
+
+@register_metric
+def ppl_wend(**kw):
+    return _ppl("ppl_wend", "w", "end", **kw)
+
+
+@register_metric
+def ppl2_wend(**kw):
+    """StyleGAN2-ADA's default PPL config (w space, endpoints, crop)."""
+    return _ppl("ppl2_wend", "w", "end", **kw)

@@ -24,8 +24,14 @@ conv2d_gradfix.py:17-35) come from JAX autodiff for free.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Toggle for the FIR-composed single-conv resampling paths (benchmarking
+# escape hatch; both paths are golden-tested).
+_FUSE_FIR = os.environ.get("MGT_FUSE_FIR", "1") != "0"
 
 from morphganformer_tpu.ops.upfirdn2d import (
     _get_filter_size,
@@ -135,6 +141,11 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
     # Fast path: downsampling only => ONE strided conv with the FIR composed
     # into the kernel (stride subsamples the composed correlation).
     if down > 1 and up == 1:
+        if not _FUSE_FIR:
+            x = upfirdn2d(x, f, padding=[px0, px1, py0, py1],
+                          flip_filter=flip_filter)
+            return _conv(x, w, stride=down, groups=groups,
+                         flip_weight=flip_weight)
         if f is not None:
             k = _compose_kernel_fir(w, f, flip_weight, flip_filter)
         else:
@@ -149,6 +160,18 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
     # into the kernel (see _compose_kernel_fir). The trailing up-1 zeros of
     # torch-style zero insertion fold into high padding.
     if up > 1:
+        if not _FUSE_FIR:
+            x = _conv(
+                x, w, groups=groups, flip_weight=flip_weight,
+                lhs_dilation=(up, up),
+                padding=((kh - 1, kh - 1 + up - 1), (kw - 1, kw - 1 + up - 1)))
+            x = upfirdn2d(
+                x, f, padding=[px0 - (kw - 1), px1 - (kw - 1),
+                               py0 - (kh - 1), py1 - (kh - 1)],
+                gain=up ** 2, flip_filter=flip_filter)
+            if down > 1:
+                x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+            return x
         if f is not None:
             k = _compose_kernel_fir(w, f, flip_weight, flip_filter,
                                     gain=float(up ** 2))

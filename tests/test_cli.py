@@ -1,0 +1,162 @@
+"""CLI contract tests: flags, output file naming, end-to-end flows on a tiny
+model (SURVEY.md §4d)."""
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tests.test_models import small_cfg
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    from morphganformer_tpu.checkpoint.io import save_generator
+    from morphganformer_tpu.models import init_generator
+
+    cfg = small_cfg()
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    path = str(tmp_path_factory.mktemp("ckpt"))
+    save_generator(path, cfg, variables)
+    return path
+
+
+def test_generate_cli_outputs(ckpt_dir, tmp_path):
+    import cli.generate as G
+
+    out = str(tmp_path / "gen")
+    G.run(ckpt_dir, out, images_num=3, truncation_psi=0.7, ratio=1.0,
+          batch_size=2)
+    files = sorted(os.listdir(out))
+    assert files == ["sample_000000.png", "sample_000001.png",
+                     "sample_000002.png"]
+
+
+def test_project_cli_outputs_and_naming(ckpt_dir, tmp_path):
+    import cli.generate as G
+    import cli.project as P
+
+    gen_dir = str(tmp_path / "gen")
+    G.run(ckpt_dir, gen_dir, images_num=1, truncation_psi=0.7, ratio=1.0)
+    out = str(tmp_path / "proj")
+    args = P.build_parser().parse_args([
+        "--model", ckpt_dir, "--img", os.path.join(gen_dir, "sample_000000.png"),
+        "--loss", "mse", "--path_to_gen", out, "--step", "60", "--chunk", "30",
+        "--n_mean_latent", "256", "--lr", "0.05"])
+    res = P.run(args)
+    pngs = glob.glob(os.path.join(out, "sample_*.png"))
+    assert len(pngs) == 1
+    # Reference naming: sample_{step:06d}_{loss:.4f}.png
+    assert re.fullmatch(r"sample_\d{6}_\d+\.\d{4}\.png",
+                        os.path.basename(pngs[0]))
+    assert os.path.exists(os.path.join(out, "w.mat"))
+    assert res.best_loss < 1.0
+
+
+def test_project_init_latent_edit_mode(ckpt_dir, tmp_path):
+    """edit_MSE-style sequential projection: start from a stored latent."""
+    import cli.generate as G
+    import cli.project as P
+    from morphganformer_tpu.morph import save_latent_mat
+
+    gen_dir = str(tmp_path / "gen")
+    G.run(ckpt_dir, gen_dir, images_num=1, truncation_psi=0.7, ratio=1.0)
+    w0 = np.random.RandomState(0).randn(5, 8).astype(np.float32)
+    save_latent_mat(str(tmp_path / "w0.mat"), w0)
+    out = str(tmp_path / "proj2")
+    args = P.build_parser().parse_args([
+        "--model", ckpt_dir, "--img", os.path.join(gen_dir, "sample_000000.png"),
+        "--path_to_gen", out, "--step", "30", "--chunk", "30",
+        "--n_mean_latent", "128", "--init-latent", str(tmp_path / "w0.mat")])
+    res = P.run(args)
+    assert res.latent.shape == (1, 5, 8)
+
+
+def test_merge_cli(ckpt_dir, tmp_path):
+    import cli.merge as M
+    from morphganformer_tpu.morph import save_latent_mat
+
+    rng = np.random.RandomState(0)
+    save_latent_mat(str(tmp_path / "a.mat"), rng.randn(5, 8).astype(np.float32))
+    save_latent_mat(str(tmp_path / "b.mat"), rng.randn(5, 8).astype(np.float32))
+    out = str(tmp_path / "merged")
+    argv = sys.argv
+    sys.argv = ["merge.py", "--model", ckpt_dir, "--latents",
+                str(tmp_path / "a.mat"), str(tmp_path / "b.mat"),
+                "--out", out]
+    try:
+        M.main()
+    finally:
+        sys.argv = argv
+    assert sorted(os.listdir(out)) == ["a_b.mat", "a_b.png"]
+
+
+def test_demorph_latent_mode(ckpt_dir, tmp_path):
+    import cli.demorph as D
+    from morphganformer_tpu.morph import (
+        load_latent_mat, morph_latents, save_latent_mat)
+
+    rng = np.random.RandomState(1)
+    w1 = rng.randn(5, 8).astype(np.float32)
+    w2 = rng.randn(5, 8).astype(np.float32)
+    morph = morph_latents(w1, w2)
+    save_latent_mat(str(tmp_path / "m.mat"), morph)
+    save_latent_mat(str(tmp_path / "a.mat"), w1)
+    out = str(tmp_path / "dem")
+    argv = sys.argv
+    sys.argv = ["demorph.py", "--model", ckpt_dir, "--morph-latent",
+                str(tmp_path / "m.mat"), "--accomplice-latent",
+                str(tmp_path / "a.mat"), "--out", out]
+    try:
+        D.main()
+    finally:
+        sys.argv = argv
+    rec = load_latent_mat(os.path.join(out, "demorph.mat"))
+    np.testing.assert_allclose(rec, w2, atol=1e-4)
+    assert os.path.exists(os.path.join(out, "demorph.png"))
+
+
+def test_calc_metrics_morph_qa(tmp_path):
+    from PIL import Image
+
+    import cli.calc_metrics as C
+
+    rng = np.random.RandomState(2)
+    for d in ("a", "b"):
+        os.makedirs(tmp_path / d)
+    for i in range(3):
+        arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / "a" / f"{i}.png")
+        Image.fromarray(arr).save(tmp_path / "b" / f"{i}.png")
+    result = C.morph_qa(str(tmp_path / "a"), str(tmp_path / "b"))
+    assert result["num_pairs"] == 3
+    assert result["ssim_mean"] > 0.99
+    assert result["psnr_mean"] > 40
+
+
+def test_warp_identity_and_translation():
+    from morphganformer_tpu.morph.warp import (
+        border_anchor_points, piecewise_affine_warp)
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(32, 32, 3)
+    pts = np.concatenate([
+        np.array([[10.0, 10.0], [20.0, 12.0], [14.0, 22.0]]),
+        border_anchor_points(32)])
+    # Identity warp reproduces the image (interior).
+    out = piecewise_affine_warp(img, pts, pts)
+    np.testing.assert_allclose(out[2:-2, 2:-2], img[2:-2, 2:-2], atol=1e-6)
+
+    # Small translation of interior points moves content accordingly.
+    dst = pts.copy()
+    dst[:3] += 2.0
+    out = piecewise_affine_warp(img, pts, dst)
+    assert not np.allclose(out[8:24, 8:24], img[8:24, 8:24])
