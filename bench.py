@@ -1,14 +1,19 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: 1024^2 GANformer generation throughput (images/sec/chip) on the
-flagship FFHQ-1024 config. The reference publishes no numbers
-(BASELINE.json "published": {}), so vs_baseline reports the measured value.
+Headline: 1024^2 latent-projection step rate on the flagship FFHQ-1024
+config (bfloat16 synthesis), measured as jitted fwd+bwd steps/sec after
+compile. North-star (BASELINE.md): 1000 steps < 30 s on one chip, i.e.
+33.3 steps/s => vs_baseline = steps_per_sec / 33.33.
+
+The reference's projection runs 5000 *non-converging* steps (its graph is
+severed, SURVEY.md §2.6) at GPU-forward speed; this framework's steps are
+true fwd+bwd gradient steps, so the comparison is strictly harder.
 
 Note: on the axon TPU platform `block_until_ready()` returns before device
-completion; a scalar device->host fetch is the only reliable sync, so every
-timed step ends in `float(...)` of an on-device reduction.
+completion; every timed section ends in a scalar device->host fetch.
 """
 
+import dataclasses
 import json
 import time
 
@@ -16,35 +21,53 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_generation(batch=4, iters=8, warmup=2):
+def bench_projection_steps(steps=100, warmup=10):
+    from morphganformer_tpu.losses.stack import build_loss_stack
     from morphganformer_tpu.models import ffhq1024_config, init_generator
+    from morphganformer_tpu.projection.engine import (
+        ProjectionConfig, latent_stats, make_projection_step)
 
-    cfg = ffhq1024_config()
-    model, variables = init_generator(cfg, seed=0, batch=batch)
+    cfg = dataclasses.replace(ffhq1024_config(), dtype="bfloat16")
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
+    target = jax.jit(
+        lambda zz: model.apply(variables, zz, truncation_psi=0.7,
+                               noise_mode="const"))(z)
+
+    pcfg = ProjectionConfig(steps=1000)
+    mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(1),
+                             n_mean_latent=10000)
+    loss_fn = build_loss_stack({"mse": 1.0})
+    opt, step_fn = make_projection_step(model, variables, loss_fn, pcfg,
+                                        std, target)
+    latent = jnp.tile(mean[None], (1, 1, 1))
+    carry = (latent, opt.init(latent), jnp.full((1,), 1e30, jnp.float32),
+             latent, jnp.zeros_like(target, dtype=jnp.float32),
+             jax.random.PRNGKey(2))
 
     @jax.jit
-    def forward_sum(variables, z):
-        img = model.apply(variables, z, truncation_psi=0.7, noise_mode="const")
-        return jnp.sum(img)
+    def run(carry, idx):
+        return jax.lax.scan(step_fn, carry, idx)
 
-    zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, cfg.k, cfg.z_dim))
-          for i in range(iters + warmup)]
-    for i in range(warmup):
-        float(forward_sum(variables, zs[i]))
+    # Fixed chunk length so warmup and timed run share one compiled scan.
+    carry, (losses, _) = run(carry, jnp.arange(0, steps))
+    float(losses[-1])
     t0 = time.perf_counter()
-    for i in range(warmup, warmup + iters):
-        float(forward_sum(variables, zs[i]))
+    carry, (losses, _) = run(carry, jnp.arange(steps, 2 * steps))
+    final_loss = float(losses[-1])
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return steps / dt, final_loss
 
 
 def main():
-    imgs_per_sec = bench_generation()
+    steps_per_sec, final_loss = bench_projection_steps()
     print(json.dumps({
-        "metric": "gen_1024_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 3),
-        "unit": "img/s",
-        "vs_baseline": round(imgs_per_sec, 3),  # no published reference number
+        "metric": "projection_1024_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / (1000.0 / 30.0), 3),
+        "detail": {"final_mse": round(final_loss, 6),
+                   "seconds_per_1000_steps": round(1000.0 / steps_per_sec, 1)},
     }))
 
 

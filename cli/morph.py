@@ -41,20 +41,22 @@ def run_pair(model_bundle, img_a, img_b, out_dir, args):
     mean, std = latent_stats(model, variables, cfg, sub,
                              n_mean_latent=args.n_mean_latent)
 
-    names, latents = [], []
-    for path in (img_a, img_b):
-        name = os.path.splitext(os.path.basename(path))[0]
-        target = load_target(path, size=cfg.img_resolution)
-        rng, sub = jax.random.split(rng)
-        print(f"projecting {name} ({args.step} steps, loss={args.loss})...")
-        res = project(model, variables, target, loss_fn, pcfg, mean, std,
-                      rng=sub)
-        print(f"  best loss {res.best_loss:.5f} @ step {res.best_step}")
-        to_pil(res.best_img[0]).save(os.path.join(out_dir, f"{name}_rec.png"))
+    # Project BOTH photos in one batched run — same math as two sequential
+    # projections (per-image best tracking in the engine), half the wall time.
+    names = [os.path.splitext(os.path.basename(p))[0] for p in (img_a, img_b)]
+    targets = jnp.concatenate([load_target(p, size=cfg.img_resolution)
+                               for p in (img_a, img_b)])
+    rng, sub = jax.random.split(rng)
+    print(f"projecting {names[0]} + {names[1]} "
+          f"({args.step} steps, loss={args.loss})...")
+    res = project(model, variables, targets, loss_fn, pcfg, mean, std, rng=sub)
+    print(f"  best loss {res.best_loss:.5f} @ step {res.best_step}")
+    latents = []
+    for i, name in enumerate(names):
+        to_pil(res.best_img[i]).save(os.path.join(out_dir, f"{name}_rec.png"))
         save_latent_mat(os.path.join(out_dir, f"{name}.mat"),
-                        jax.device_get(res.latent[0]))
-        names.append(name)
-        latents.append(jax.device_get(res.latent))
+                        jax.device_get(res.latent[i]))
+        latents.append(jax.device_get(res.latent[i:i + 1]))
 
     w_morph = morph_latents(latents[0], latents[1], args.alpha)
     img = model.apply(variables, jnp.asarray(w_morph),

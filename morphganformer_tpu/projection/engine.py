@@ -79,12 +79,13 @@ def latent_stats(model, variables, cfg_model, rng, n_mean_latent=10000,
 
 @dataclasses.dataclass
 class ProjectionResult:
-    latent: jnp.ndarray          # best latent (z-space [1,k,z_dim] or ws)
-    best_img: jnp.ndarray        # G(best latent), NHWC in [-1,1]
-    best_loss: float
+    latent: jnp.ndarray          # best latents [B, k, z_dim] (or ws)
+    best_img: jnp.ndarray        # G(best latents), NHWC in [-1,1]
+    best_loss: float             # mean of per-image bests
     best_step: int
-    loss_history: jnp.ndarray    # [steps] per-step loss
+    loss_history: jnp.ndarray    # [steps] per-step mean loss
     components_history: Dict[str, jnp.ndarray]
+    per_image_loss: jnp.ndarray = None  # [B] per-image best losses
 
 
 def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
@@ -122,18 +123,22 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
 
         def total_loss(lat_n):
             img = synth(lat_n)
-            loss, comps = loss_fn(img, target)
-            return loss, (img, comps)
+            # Per-image losses (vmap each term over the batch) so batched
+            # projections (e.g. the morph pair) track bests independently.
+            per_img, comps = jax.vmap(
+                lambda a, b: loss_fn(a[None], b[None]))(img, target)
+            return jnp.mean(per_img), (img, per_img, comps)
 
-        (loss, (img, comps)), grads = jax.value_and_grad(
+        (loss, (img, per_img, comps)), grads = jax.value_and_grad(
             total_loss, has_aux=True)(latent_n)
         updates, opt_state = opt.update(grads, opt_state, latent)
         latent = latent + jax.tree_util.tree_map(lambda u: lr * u, updates)
 
-        improved = loss < best_loss
-        best_loss = jnp.where(improved, loss, best_loss)
-        best_latent = jnp.where(improved, latent_n, best_latent)
-        best_img = jnp.where(improved, img, best_img)
+        improved = per_img < best_loss                               # [B]
+        best_loss = jnp.where(improved, per_img, best_loss)
+        expand = (slice(None),) + (None,) * (latent.ndim - 1)
+        best_latent = jnp.where(improved[expand], latent_n, best_latent)
+        best_img = jnp.where(improved[:, None, None, None], img, best_img)
         new_carry = (latent, opt_state, best_loss, best_latent, best_img, rng)
         return new_carry, (loss, comps)
 
@@ -157,8 +162,9 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
                                         latent_std, target)
     opt_state = opt.init(latent)
 
-    big = jnp.asarray(1e30, jnp.float32)  # reference inits min_loss=1.0;
-    # use +inf-ish so the best tracker always captures something.
+    # Per-image best trackers (reference inits min_loss=1.0; use +inf-ish so
+    # the tracker always captures something).
+    big = jnp.full((target.shape[0],), 1e30, jnp.float32)
     img_shape = (target.shape[0], target.shape[1], target.shape[2], target.shape[3])
     carry = (latent, opt_state, big, latent, jnp.zeros(img_shape), rng)
 
@@ -177,7 +183,7 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
             break
         idx = jnp.arange(lo, hi)
         carry, (chunk_losses, chunk_comps) = run_chunk(carry, idx)
-        cur_best = float(carry[2])  # forces device sync per chunk
+        cur_best = float(jnp.mean(carry[2]))  # forces device sync per chunk
         losses.append(chunk_losses)
         comps_hist.append(chunk_comps)
         if cur_best < prev_best:
@@ -193,8 +199,9 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     return ProjectionResult(
         latent=best_latent,
         best_img=best_img,
-        best_loss=float(best_loss),
+        best_loss=float(jnp.mean(best_loss)),
         best_step=best_step,
         loss_history=jnp.concatenate(losses),
         components_history=comps,
+        per_image_loss=best_loss,
     )

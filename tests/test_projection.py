@@ -86,6 +86,47 @@ def test_projection_converges_on_self_target():
     assert mse == pytest.approx(result.best_loss, rel=1e-3)
 
 
+def test_batched_projection_per_image_best():
+    """Morph-pair style batch-2 projection tracks per-image bests."""
+    import dataclasses
+
+    cfg = small_cfg()
+    model, variables = init_generator(cfg, seed=0, batch=2)
+    z_true = jax.random.normal(jax.random.PRNGKey(7), (2, cfg.k, cfg.z_dim))
+    targets = model.apply(variables, z_true, truncation_psi=0.7,
+                          noise_mode="const")
+    mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(1),
+                             n_mean_latent=256)
+    pcfg = ProjectionConfig(steps=100, chunk=50, lr=0.05)
+    loss_fn = build_loss_stack({"mse": 1.0})
+    res = project(model, variables, targets, loss_fn, pcfg, mean, std,
+                  rng=jax.random.PRNGKey(2))
+    assert res.latent.shape == (2, cfg.k, cfg.z_dim)
+    assert res.per_image_loss.shape == (2,)
+    # Each best image matches its own target at its own best loss.
+    for i in range(2):
+        mse = float(jnp.mean((res.best_img[i] - targets[i]) ** 2))
+        assert mse == pytest.approx(float(res.per_image_loss[i]), rel=1e-3)
+
+
+def test_projection_converges_in_bfloat16():
+    """The performance configuration (bf16 synthesis) still descends."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg(), dtype="bfloat16")
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    z_true = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.k, cfg.z_dim))
+    target = model.apply(variables, z_true, truncation_psi=0.7,
+                         noise_mode="const")
+    mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(4),
+                             n_mean_latent=256)
+    pcfg = ProjectionConfig(steps=120, chunk=60, lr=0.05)
+    res = project(model, variables, target, build_loss_stack({"mse": 1.0}),
+                  pcfg, mean, std, rng=jax.random.PRNGKey(5))
+    first = float(res.loss_history[0])
+    assert res.best_loss < first * 0.35, (first, res.best_loss)
+
+
 def test_morph_roundtrip():
     from morphganformer_tpu.morph import (
         demorph_latent, load_latent_mat, morph_latents, save_latent_mat)
