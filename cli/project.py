@@ -18,6 +18,70 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def make_extra_terms(weights, args):
+    """Build perceptual/biometric loss terms for the requested spec.
+
+    Each term loads converted weights from its flag; --random-perceptual
+    substitutes random weights (plumbing smoke runs without weight files)."""
+    extra = {}
+    builtin = {"mse", "l1", "psnr", "ssim"}
+    need = [n for n in weights if n not in builtin]
+    rand = getattr(args, "random_perceptual", False)
+
+    def weight_path(flag, name):
+        path = getattr(args, flag, None)
+        if path is None and not rand:
+            raise SystemExit(
+                f"loss term '{name}' needs --{flag.replace('_', '-')} "
+                f"(or --random-perceptual for a smoke run)")
+        return path
+
+    for name in need:
+        if name == "lpips":
+            from morphganformer_tpu.losses.lpips import (
+                load_lpips_params, make_lpips_loss, random_lpips_params)
+            path = weight_path("lpips_weights", name)
+            params = load_lpips_params(path) if path else \
+                random_lpips_params(args.lpips_net)
+            extra[name] = make_lpips_loss(params, args.lpips_net)
+        elif name == "wing":
+            from morphganformer_tpu.losses.landmarks import (
+                load_landmark_npz, make_landmark_fn, random_landmark_params)
+            from morphganformer_tpu.losses.wing import make_wing_loss_term
+            path = weight_path("landmark_weights", name)
+            params = load_landmark_npz(path) if path else \
+                random_landmark_params()
+            extra[name] = make_wing_loss_term(make_landmark_fn(params))
+        elif name == "facenet":
+            from morphganformer_tpu.losses.facenet import (
+                make_facenet_loss, random_facenet_params)
+            from tools.convert_facenet import load_facenet_npz
+            path = weight_path("facenet_weights", name)
+            params = load_facenet_npz(path) if path else random_facenet_params()
+            extra[name] = make_facenet_loss(params)
+        elif name == "arcface":
+            from morphganformer_tpu.losses.face_embedding import (
+                make_identity_loss, random_iresnet_params)
+            from tools.convert_iresnet import load_iresnet_npz
+            path = weight_path("arcface_weights", name)
+            params = load_iresnet_npz(path) if path else \
+                random_iresnet_params()
+            extra[name] = make_identity_loss(params)
+        elif name == "mdf":
+            from morphganformer_tpu.losses.mdf import (
+                make_mdf_loss, random_mdf_params)
+            from tools.convert_mdf import load_mdf_params
+            path = weight_path("mdf_weights", name)
+            ds = load_mdf_params(path) if path else random_mdf_params()
+            extra[name] = make_mdf_loss(ds)
+        elif name == "lbp":
+            from morphganformer_tpu.losses.lbp import soft_lbp_loss
+            extra[name] = soft_lbp_loss
+        else:
+            raise SystemExit(f"unknown loss term '{name}'")
+    return extra
+
+
 def run(args):
     import jax
 
@@ -40,7 +104,7 @@ def run(args):
         n_mean_latent=args.n_mean_latent, chunk=args.chunk)
 
     weights = parse_loss_spec(args.loss)
-    loss_fn = build_loss_stack(weights)
+    loss_fn = build_loss_stack(weights, extra_terms=make_extra_terms(weights, args))
 
     rng = jax.random.PRNGKey(args.seed)
     rng, sub = jax.random.split(rng)
@@ -103,6 +167,16 @@ def build_parser():
     p.add_argument("--init-latent", default=None,
                    help="Start from a stored .mat latent (sequential "
                         "projection / editing, reference edit_MSE.py)")
+    # Perceptual/biometric term weights (converted .npz files; see tools/).
+    p.add_argument("--lpips-weights", dest="lpips_weights", default=None)
+    p.add_argument("--lpips-net", dest="lpips_net", default="alex",
+                   choices=["alex", "vgg", "squeeze"])
+    p.add_argument("--landmark-weights", dest="landmark_weights", default=None)
+    p.add_argument("--facenet-weights", dest="facenet_weights", default=None)
+    p.add_argument("--arcface-weights", dest="arcface_weights", default=None)
+    p.add_argument("--mdf-weights", dest="mdf_weights", default=None)
+    p.add_argument("--random-perceptual", action="store_true",
+                   help="Random weights for missing perceptual nets (smoke)")
     return p
 
 

@@ -141,6 +141,68 @@ def test_iresnet_embedding_and_identity_loss():
     np.testing.assert_allclose(np.asarray(sim), 1.0, atol=1e-4)
 
 
+def test_facenet_architecture():
+    from morphganformer_tpu.losses.facenet import (
+        facenet_embed, make_facenet_loss, random_facenet_params)
+
+    params = random_facenet_params()
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(2, 160, 160, 3).astype(np.float32)) * 2 - 1
+    e = facenet_embed(params, x)
+    assert e.shape == (2, 512)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(e, axis=-1)), 1.0,
+                               rtol=1e-5)
+    loss = make_facenet_loss(params)
+    y = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32)) * 2 - 1
+    assert float(loss(y, y)) == pytest.approx(0.0, abs=1e-6)
+    g = jax.grad(lambda a: loss(a, -y))(y)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_landmark_net_and_differentiable_wing():
+    from morphganformer_tpu.losses.landmarks import (
+        make_landmark_fn, random_landmark_params, soft_argmax)
+    from morphganformer_tpu.losses.wing import make_wing_loss_term
+
+    params = random_landmark_params()
+    fn = make_landmark_fn(params, image_size=64)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)) * 2 - 1
+    c = fn(x)
+    assert c.shape == (2, 68, 2)
+    assert 0 <= float(c.min()) and float(c.max()) <= 64
+
+    # soft_argmax decodes a peaked heatmap to its peak location.
+    hm = jnp.full((1, 64, 64, 1), -10.0).at[0, 10, 50, 0].set(10.0)
+    xy = soft_argmax(hm)
+    assert float(xy[0, 0, 0]) == pytest.approx((50 + 0.5) / 64, abs=0.02)  # x
+    assert float(xy[0, 0, 1]) == pytest.approx((10 + 0.5) / 64, abs=0.02)  # y
+
+    wing = make_wing_loss_term(fn)
+    y = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)) * 2 - 1
+    g = jax.grad(lambda a: wing(a, y))(x)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_lbp_codes_and_soft_variant():
+    from morphganformer_tpu.losses.lbp import (
+        lbp_distance, local_binary_pattern, soft_lbp_loss)
+
+    rng = np.random.RandomState(8)
+    img = (rng.rand(32, 32) * 255).astype(np.uint8)
+    codes = local_binary_pattern(img)
+    assert codes.shape == (32, 32) and codes.dtype == np.uint8
+    # A constant image: all neighbors >= center -> code 255 everywhere.
+    flat = np.full((16, 16), 100, np.uint8)
+    assert np.all(local_binary_pattern(flat) == 255)
+    assert lbp_distance(img, img) == 0.0
+
+    a = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    assert float(soft_lbp_loss(a, a)) == pytest.approx(0.0, abs=1e-7)
+    assert float(soft_lbp_loss(a, b)) > 0
+
+
 def test_loss_stack_with_perceptual_terms():
     """The CLI path: extra terms plug into the weighted stack."""
     from morphganformer_tpu.losses.lpips import make_lpips_loss, random_lpips_params
