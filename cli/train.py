@@ -138,6 +138,29 @@ def main(argv=None):
         LoopConfig, latest_snapshot, training_loop)
 
     g_cfg, d_cfg, t_cfg = build_configs(args)
+
+    if args.eval:
+        # Evaluation-only mode (reference run_network --eval ->
+        # training_loop.evaluate): run metrics on the latest snapshot's EMA
+        # generator.
+        prev = sorted(glob.glob(os.path.join(args.result_dir,
+                                             f"{args.expname}-*")))
+        snaps = [s for d in prev if (s := latest_snapshot(d))]
+        assert snaps, "no snapshot to evaluate"
+        from cli.calc_metrics import dataset_batches, raw_pixel_detector
+        from morphganformer_tpu.checkpoint.io import load_generator
+        from morphganformer_tpu.metrics.registry import (
+            compute_metric, report_metric)
+        cfg, model, variables = load_generator(snaps[-1], role="Gs")
+        for metric in (args.metrics or ["fid2k_full"]):
+            dataset = dataset_batches(args.data_dir, cfg.img_resolution,
+                                      max_items=2000)
+            result = compute_metric(metric, detector=raw_pixel_detector(),
+                                    dataset=dataset,
+                                    G=(model, variables, cfg), max_items=2000)
+            report_metric(result, run_dir=os.path.dirname(snaps[-1]),
+                          snapshot_pkl=snaps[-1])
+        return
     resume = args.resume
     if resume == "auto":
         # Auto-resume from the newest snapshot across previous {expname}-NNN

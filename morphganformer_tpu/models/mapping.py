@@ -95,15 +95,18 @@ class MappingNetwork(nn.Module):
         embed_dim = (m.embed_dim or z_dim) if cfg.c_dim > 0 else 0
         layers = [layer_dim] * (m.num_layers - 1) + [w_dim]
 
-        if cfg.transformer:
-            z_comp, g = z[:, : k - 1], z[:, k - 1:]
-            if m.normalize_global:
-                g = normalize_l2(g)
-            z_comp = normalize_l2(z_comp)
-            x = g
-        else:
-            z_comp = None
-            x = normalize_l2(z)
+        # Profiling spans mirror the reference's record_function names
+        # (networks.py:896,926,931,936); they surface in XLA profiles.
+        with jax.named_scope("input"):
+            if cfg.transformer:
+                z_comp, g = z[:, : k - 1], z[:, k - 1:]
+                if m.normalize_global:
+                    g = normalize_l2(g)
+                z_comp = normalize_l2(z_comp)
+                x = g
+            else:
+                z_comp = None
+                x = normalize_l2(z)
 
         if cfg.c_dim > 0:
             y = FullyConnected(embed_dim, name="embed")(c.astype(jnp.float32))
@@ -133,16 +136,19 @@ class MappingNetwork(nn.Module):
             w_avg.value = batch_mean + m.w_avg_beta * (w_avg.value - batch_mean)
 
         # Broadcast to num_ws (reference networks.py:930-932).
-        num_ws = cfg.num_ws
-        x = jnp.repeat(x[:, :, None, :], num_ws, axis=2)  # [B, k, num_ws, w_dim]
+        with jax.named_scope("broadcast"):
+            num_ws = cfg.num_ws
+            x = jnp.repeat(x[:, :, None, :], num_ws, axis=2)  # [B,k,num_ws,w]
 
         # Truncation (reference networks.py:935-941).
         if truncation_psi != 1:
-            assert m.w_avg_beta is not None
-            if truncation_cutoff is None:
-                x = w_avg.value + truncation_psi * (x - w_avg.value)
-            else:
-                head = w_avg.value + truncation_psi * (
-                    x[:, :, :truncation_cutoff] - w_avg.value)
-                x = jnp.concatenate([head, x[:, :, truncation_cutoff:]], axis=2)
+            with jax.named_scope("truncate"):
+                assert m.w_avg_beta is not None
+                if truncation_cutoff is None:
+                    x = w_avg.value + truncation_psi * (x - w_avg.value)
+                else:
+                    head = w_avg.value + truncation_psi * (
+                        x[:, :, :truncation_cutoff] - w_avg.value)
+                    x = jnp.concatenate([head, x[:, :, truncation_cutoff:]],
+                                        axis=2)
         return x

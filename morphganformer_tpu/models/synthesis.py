@@ -283,10 +283,13 @@ class SynthesisNetwork(nn.Module):
         att_vars = {"centroid_assignments": None}
         for res, (start, count) in zip(cfg.block_resolutions, cfg.block_w_slices()):
             block = SynthesisBlock(cfg, res, name=f"b{res}")
-            cur_ws = jax.lax.slice_in_dim(ws, start, start + count, axis=2)
-            x, img, maps, att_vars = block(x, img, cur_ws, att_vars, pos=pos,
-                                           mask=mask, noise_mode=noise_mode,
-                                           train=train)
+            with jax.named_scope("split_ws"):
+                cur_ws = jax.lax.slice_in_dim(ws, start, start + count, axis=2)
+            with jax.named_scope(f"b{res}"):
+                x, img, maps, att_vars = block(x, img, cur_ws, att_vars,
+                                               pos=pos, mask=mask,
+                                               noise_mode=noise_mode,
+                                               train=train)
             att_maps += maps
 
         if return_att:

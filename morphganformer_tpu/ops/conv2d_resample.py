@@ -91,6 +91,47 @@ def _conv(x, w, *, stride=1, padding=((0, 0), (0, 0)), groups=1, lhs_dilation=(1
     )
 
 
+def _conv_up2_polyphase(x, k, py0, py1, px0, px1, groups):
+    """2x-upsampling conv via polyphase decomposition.
+
+    The base-dilated conv with composed kernel K (size L=6 per axis from
+    k=3 + 4-tap FIR) splits into 4 phase convs of 3x3 taps at the INPUT
+    resolution: output pixel (2n+r_y, 2m+r_x) uses only taps of parity
+    (p0+r) mod 2 per axis. Stacking the 4 phase kernels along the output-
+    channel axis yields ONE dense [3,3,I,4O] conv + depth-to-space — the
+    mathematically exact FLOPs with full MXU lane utilization (the dilated
+    form wastes 3/4 of its taps on zeros, and a 4x wider output channel
+    dim keeps low-channel synthesis layers on full 128-lane tiles).
+
+    Only valid when the phase offsets agree across phases, which holds for
+    the synthesis hot path (k=3, fw=4, padding=1 -> p0=3, p1=2); the caller
+    checks. x: [B,H,W,I]; k: [6,6,I,O]; returns [B,2H,2W,O]."""
+    lh, lw, ci, co = k.shape
+    b, h, wdt, _ = x.shape
+
+    def taps(r, p0):
+        t0 = (p0 + r) % 2
+        return [t0, t0 + 2, t0 + 4]
+
+    # Phase kernels: K_r[j] = K[t0r + 2j]; shared input offset o = -1 for
+    # the standard (p0=3) pattern -> symmetric (1,1) padding.
+    phases = []
+    for ry in (0, 1):
+        for rx in (0, 1):
+            kr = k[jnp.asarray(taps(ry, py0))][:, jnp.asarray(taps(rx, px0))]
+            phases.append(kr)                       # [3,3,I,O]
+    k4 = jnp.concatenate(phases, axis=-1)           # [3,3,I,4O]
+
+    y = jax.lax.conv_general_dilated(
+        x, k4.astype(x.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=_DIMNUMS,
+        feature_group_count=groups)
+    # Depth-to-space with (r_y, r_x) phase ordering.
+    y = y.reshape(b, h, wdt, 2, 2, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * h, 2 * wdt, co)
+
+
 def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
                     flip_weight=True, flip_filter=False):
     """2D convolution with optional FIR up/downsampling.
@@ -177,6 +218,11 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
                                     gain=float(up ** 2))
         else:
             k = (w if flip_weight else w[::-1, ::-1]) * float(up ** 2)
+        # Synthesis hot path (k=3 + 4-tap FIR, SAME padding): exact polyphase
+        # decomposition — one dense conv at input resolution.
+        if (up == 2 and down == 1 and groups == 1 and k.shape[0] == 6
+                and k.shape[1] == 6 and (py0, py1, px0, px1) == (3, 2, 3, 2)):
+            return _conv_up2_polyphase(x, k, py0, py1, px0, px1, groups)
         x = jax.lax.conv_general_dilated(
             x, k.astype(x.dtype), window_strides=(1, 1),
             padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),

@@ -77,6 +77,11 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
                   resume: Optional[str] = "auto", use_mesh: bool = True,
                   max_ticks: Optional[int] = None):
     """Run (or resume) training until total_kimg. Returns final state."""
+    # CI debugging mode (SURVEY.md §5.2 rebuild note): surface NaNs at the
+    # op that produced them instead of scrubbing silently.
+    if os.environ.get("MGT_DEBUG_NANS") == "1":
+        jax.config.update("jax_debug_nans", True)
+
     os.makedirs(l_cfg.run_dir, exist_ok=True)
     with open(os.path.join(l_cfg.run_dir, "training_options.json"), "w") as f:
         json.dump({"G": json.loads(g_cfg.to_json()),

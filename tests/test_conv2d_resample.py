@@ -130,6 +130,38 @@ def test_modulated_conv2d_no_modulate_is_plain_conv():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_polyphase_up2_matches_dilated_path():
+    """The polyphase decomposition must equal the generic dilated conv
+    exactly (same math, different schedule) — both fwd and grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from morphganformer_tpu.ops.conv2d_resample import (
+        _compose_kernel_fir, _conv_up2_polyphase)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32))
+    f = setup_filter([1, 3, 3, 1])
+
+    for flip_weight in (True, False):
+        k = _compose_kernel_fir(w, f, flip_weight, False, gain=4.0)
+        poly = _conv_up2_polyphase(x, k, 3, 2, 3, 2, 1)
+        import jax.lax as lax
+        dil = lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=((3, 3), (3, 3)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(poly), np.asarray(dil),
+                                   rtol=1e-4, atol=1e-4)
+
+    # Full conv2d_resample grads through the polyphase path stay finite.
+    loss = lambda xx, ww: jnp.sum(conv2d_resample(
+        xx, ww, f=f, up=2, padding=1, flip_weight=False) ** 2)
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    assert np.all(np.isfinite(np.asarray(gx)))
+    assert float(jnp.abs(gw).sum()) > 0
+
+
 def test_conv2d_resample_gradients_flow():
     import jax
     import jax.numpy as jnp
