@@ -46,14 +46,16 @@ def bench_projection_steps(steps=100, warmup=10):
              jax.random.PRNGKey(2))
 
     @jax.jit
-    def run(carry, idx):
-        return jax.lax.scan(step_fn, carry, idx)
+    def run(carry, idx, noise_seq):
+        return jax.lax.scan(step_fn, carry, (idx, noise_seq))
 
+    noise = jax.random.normal(jax.random.PRNGKey(3),
+                              (steps, *latent.shape))
     # Fixed chunk length so warmup and timed run share one compiled scan.
-    carry, (losses, _) = run(carry, jnp.arange(0, steps))
+    carry, (losses, _) = run(carry, jnp.arange(0, steps), noise)
     float(losses[-1])
     t0 = time.perf_counter()
-    carry, (losses, _) = run(carry, jnp.arange(steps, 2 * steps))
+    carry, (losses, _) = run(carry, jnp.arange(steps, 2 * steps), noise)
     final_loss = float(losses[-1])
     dt = time.perf_counter() - t0
     return steps / dt, final_loss

@@ -112,14 +112,16 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
                               noise_mode="const")
         return img
 
-    def step_fn(carry, step_idx):
+    def step_fn(carry, step_in):
+        # step_in: (step_idx, unit-normal noise) — noise is pre-generated per
+        # chunk outside the scan (cheaper than per-step threefry inside).
+        step_idx, noise_unit = step_in
         latent, opt_state, best_loss, best_latent, best_img, rng = carry
         t = step_idx.astype(jnp.float32) / cfg.steps
         lr = cosine_ramp_lr(t, cfg.lr, cfg.lr_rampdown, cfg.lr_rampup)
         noise_strength = latent_std * cfg.noise * \
             jnp.maximum(0.0, 1.0 - t / cfg.noise_ramp) ** 2
-        rng, sub = jax.random.split(rng)
-        latent_n = latent + jax.random.normal(sub, latent.shape) * noise_strength
+        latent_n = latent + noise_unit * noise_strength
 
         def total_loss(lat_n):
             img = synth(lat_n)
@@ -169,8 +171,8 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     carry = (latent, opt_state, big, latent, jnp.zeros(img_shape), rng)
 
     @jax.jit
-    def run_chunk(carry, steps_slice):
-        return jax.lax.scan(step_fn, carry, steps_slice)
+    def run_chunk(carry, steps_slice, noise_seq):
+        return jax.lax.scan(step_fn, carry, (steps_slice, noise_seq))
 
     losses, comps_hist = [], []
     best_step = 0
@@ -182,7 +184,9 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
         if hi <= lo:
             break
         idx = jnp.arange(lo, hi)
-        carry, (chunk_losses, chunk_comps) = run_chunk(carry, idx)
+        rng, sub = jax.random.split(rng)
+        noise_seq = jax.random.normal(sub, (hi - lo, *latent.shape))
+        carry, (chunk_losses, chunk_comps) = run_chunk(carry, idx, noise_seq)
         cur_best = float(jnp.mean(carry[2]))  # forces device sync per chunk
         losses.append(chunk_losses)
         comps_hist.append(chunk_comps)

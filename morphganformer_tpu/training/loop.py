@@ -40,8 +40,8 @@ from morphganformer_tpu.utils.image import create_img_grid
 @dataclasses.dataclass(frozen=True)
 class LoopConfig:
     run_dir: str = "results/exp"
-    total_kimg: int = 25000
-    kimg_per_tick: int = 4
+    total_kimg: float = 25000
+    kimg_per_tick: float = 4
     snapshot_ticks: int = 50
     img_snapshot_ticks: int = 50
     last_snapshots: int = 10          # retention GC (training_loop.py:129-130)
@@ -126,7 +126,7 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
     rng = jax.random.PRNGKey(l_cfg.seed + jax.process_index())
 
     cur_nimg = int(jax.device_get(state["cur_nimg"]))
-    tick = cur_nimg // (l_cfg.kimg_per_tick * 1000)
+    tick = int(cur_nimg // (l_cfg.kimg_per_tick * 1000))
     step = cur_nimg // t_cfg.batch_size
     tick_start = time.time()
     start_time = time.time()
@@ -158,6 +158,8 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
 
     def save_image_grid():
         gs_vars = {"params": state["gs_params"]}
+        if state.get("gs_stats"):
+            gs_vars["moving_stats"] = state["gs_stats"]
         if "buffers" in state["g"]:
             gs_vars["buffers"] = state["g"]["buffers"]
         z = jax.random.normal(jax.random.PRNGKey(0),
