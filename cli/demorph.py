@@ -34,6 +34,8 @@ def main():
     p.add_argument("--truncation_psi", type=float, default=0.7)
     p.add_argument("--n_mean_latent", type=int, default=10000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -44,7 +46,7 @@ def main():
         demorph_latent, load_latent_mat, save_latent_mat)
     from morphganformer_tpu.utils.image import to_pil
 
-    cfg, model, variables = get_model(args.model)
+    cfg, model, variables = get_model(args.model, dtype=args.dtype)
     os.makedirs(args.out, exist_ok=True)
 
     def get_latent(mat, img, tag):

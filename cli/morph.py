@@ -88,10 +88,12 @@ def main():
     p.add_argument("--n_mean_latent", type=int, default=10000)
     p.add_argument("--chunk", type=int, default=250)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     from cli.generate import get_model
-    bundle = get_model(args.model)
+    bundle = get_model(args.model, dtype=args.dtype)
 
     if args.pairs_csv:
         with open(args.pairs_csv) as f:

@@ -235,6 +235,18 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
 
     # Fast path: plain conv with symmetric non-negative padding.
     if up == 1 and down == 1 and px0 == px1 and py0 == py1 and px0 >= 0 and py0 >= 0:
+        if px0 == 1 and py0 == 1:
+            # Opt-in lane-packed pallas kernel (2.15x vs XLA in isolation,
+            # but it breaks XLA's fusion of the surrounding style/noise/act
+            # elementwise chain — net slower in the full model until the
+            # fused modconv kernel lands; see pallas_conv.py docstring).
+            import os
+            if os.environ.get("MGT_PALLAS_CONV") == "1":
+                from morphganformer_tpu.ops.pallas_conv import (
+                    conv3x3_same_packed, pallas_conv_eligible)
+                if pallas_conv_eligible(x.shape, w.shape, groups):
+                    k = w if flip_weight else w[::-1, ::-1]
+                    return conv3x3_same_packed(x, k.astype(x.dtype))
         return _conv(x, w, padding=((py0, py0), (px0, px0)), groups=groups,
                      flip_weight=flip_weight)
 

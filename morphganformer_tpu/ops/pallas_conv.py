@@ -7,14 +7,18 @@ conv whose HBM roofline is ~0.2 ms. This kernel keeps the input in HBM,
 DMAs each row tile (plus 1-row halo) into VMEM once, accumulates the 9 taps
 as MXU matmuls from VMEM, and writes the tile once.
 
-STATUS: correct (golden-tested fwd + custom-vjp grads; runs compiled on
-TPU) but NOT yet faster at the 32-channel target — Mosaic requires the
-manual-DMA lane extent 128-aligned, and materializing the channel pad
-costs 4x HBM traffic, erasing the single-read win (measured: 3.9 ms vs
-XLA 2.5 ms at C=32/1024^2; 1.2x faster at C=128/256^2). The win requires
-lane-packing 4 W-pixels x 32 ch into the 128-lane dim (tap shifts become
-lane rotates) plus double-buffered DMA — planned; until then
-conv2d_resample does not call this kernel.
+STATUS: correct (golden-tested fwd + custom-vjp grads incl. the packed
+variant; runs compiled on TPU). With lane packing (conv3x3_same_packed:
+4 W-pixels x 32 ch per 128-lane group via a block-structured kernel) and
+double-buffered row DMA it measures 2.15x over XLA's conv in isolation
+(1.14 ms vs 2.45 ms at C=32/1024^2 bf16; 1.44x at C=64/512^2). However,
+wired into the full synthesis network it is a net LOSS (~0.7x end to end):
+the pallas call is a fusion barrier, so XLA can no longer fold the
+surrounding style-scale/demod/noise/bias/lrelu elementwise chain into the
+conv, adding full-image HBM passes. It is therefore opt-in
+(MGT_PALLAS_CONV=1). Round-2 plan: grow the kernel to cover the whole
+modulated-conv epilogue (style scale in, demod+noise+bias+lrelu out), at
+which point the fusion barrier disappears and the isolated 2x carries over.
 """
 
 from __future__ import annotations
@@ -27,21 +31,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv3x3_kernel(x_hbm, w_ref, o_ref, x_vmem, sem, *, tile_h, width):
-    """Grid: (batch, row_tiles). x_hbm: padded input [N, H+2, W+2, C] in HBM;
+def _conv3x3_kernel(x_hbm, w_ref, o_ref, x_vmem, sems, *, tile_h, width):
+    """Grid: (batch, row_tiles). x_hbm: padded input [N, H+2, Wp, C] in HBM;
     w_ref: [3,3,C,O] in VMEM; o_ref: VMEM out block [1, tile_h, W, O];
-    x_vmem: scratch [tile_h+2, W+2, C]."""
+    x_vmem: double-buffered scratch [2, tile_h+2, Wp, C]. The next row
+    tile's DMA is issued before computing the current one (the scratch and
+    semaphores persist across the sequential grid steps)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
+    n_i = pl.num_programs(1)
     c = x_vmem.shape[-1]
     o = o_ref.shape[-1]
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile_h, tile_h + 2)], x_vmem, sem)
-    dma.start()
-    dma.wait()
+    def dma(s, tile_idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile_idx * tile_h, tile_h + 2)],
+            x_vmem.at[s], sems.at[s])
 
-    x = x_vmem[...]                                # [tile_h+2, W+2, C]
+    @pl.when(i == 0)
+    def _():
+        dma(slot, i).start()
+
+    @pl.when(i + 1 < n_i)
+    def _():
+        dma(nxt, i + 1).start()
+
+    dma(slot, i).wait()
+
+    x = x_vmem[slot]                               # [tile_h+2, Wp, C]
     acc = jnp.zeros((tile_h * width, o), jnp.float32)
     for dy in range(3):
         for dx in range(3):
@@ -57,7 +76,7 @@ def _pick_tile_h(h, c, o, w):
     for tile in (128, 64, 32, 16, 8, 4, 2, 1):
         if h % tile:
             continue
-        in_bytes = (tile + 2) * (w + 8) * c * 2
+        in_bytes = 2 * (tile + 2) * (w + 8) * c * 2  # double-buffered
         out_bytes = 2 * tile * w * max(o, 128) * 2   # pipelined x2
         acc_bytes = tile * w * max(o, 128) * 4
         if in_bytes + out_bytes + acc_bytes <= budget:
@@ -93,8 +112,8 @@ def conv3x3_same_pallas(x, w):
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, wpad, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_h + 2, wpad, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, w.astype(x.dtype))
 
@@ -133,13 +152,60 @@ def _bwd(res, g):
 conv3x3_same.defvjp(_fwd, _bwd)
 
 
-def pallas_conv_eligible(x_shape, w_shape, up, down, padding, groups) -> bool:
-    """conv2d_resample gate: plain SAME 3x3, stride 1, no groups, and big
-    enough that HBM re-reads dominate (the kernel's win case)."""
-    if up != 1 or down != 1 or groups != 1:
+def _pack_kernel(w, pack):
+    """Build the block-structured packed-space kernel.
+
+    Packing `pack` consecutive W-pixels x C channels into one lane group
+    turns a pixel-space 3x3 conv into a packed-space 3x3 conv over groups:
+    K'[dy, gx, u*C+ci, j*C+co] = K[dy, dx, ci, co] with
+    dx = pack*(gx-1) + u - j + 1 when 0 <= dx < 3 (else zero)."""
+    kh, kw, c, o = w.shape
+    kp = jnp.zeros((kh, 3, pack * c, pack * o), w.dtype)
+    for gx in range(3):
+        for u in range(pack):
+            for j in range(pack):
+                dx = pack * (gx - 1) + u - j + 1
+                if 0 <= dx < kw:
+                    kp = kp.at[:, gx, u * c:(u + 1) * c,
+                               j * o:(j + 1) * o].set(w[:, dx])
+    return kp
+
+
+def conv3x3_same_packed(x, w, pack=None):
+    """Lane-packed variant of conv3x3_same_pallas: reinterpret [H, W, C] as
+    [H, W/pack, pack*C] (a free reshape in NHWC layout) so low-channel
+    convs run on full 128-lane MXU tiles. Exact — zero taps for the
+    out-of-window block entries."""
+    n, h, width, c = x.shape
+    o = w.shape[-1]
+    if pack is None:
+        pack = max(1, 128 // max(c, o))
+    while pack > 1 and width % pack:
+        pack //= 2
+    if pack == 1:
+        return conv3x3_same_pallas(x, w)
+    xp = x.reshape(n, h, width // pack, pack * c)
+    kp = _pack_kernel(w, pack)
+    # Route through the custom-vjp wrapper: its backward reuses the kernel
+    # for dx and an einsum for d(kp); d(kp)->dw flows through _pack_kernel's
+    # scatter automatically.
+    y = conv3x3_same(xp, kp)
+    return y.reshape(n, h, width, o)
+
+
+def pallas_conv_eligible(x_shape, w_shape, groups) -> bool:
+    """conv2d_resample gate: plain SAME 3x3, stride 1, no groups, big
+    spatial + low channels — where the packed kernel measures ~1.4-2.2x
+    over XLA's conv (see module docstring). TPU-only (the CPU path would
+    run interpreted)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
         return False
-    kh, kw = w_shape[0], w_shape[1]
+    if groups != 1:
+        return False
+    kh, kw, ci, co = w_shape
     if (kh, kw) != (3, 3):
         return False
     n, h, w, c = x_shape
-    return h == w and h >= 256 and h % 2 == 0 and c <= 128
+    return h == w and h >= 512 and c <= 64 and co <= 64 and w % 2 == 0
