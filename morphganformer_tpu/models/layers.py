@@ -110,7 +110,7 @@ class BiasAct(nn.Module):
     gain: float = 1.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_bias: bool = False):
         from morphganformer_tpu.ops.bias_act import activation_funcs
 
         b = None
@@ -120,6 +120,10 @@ class BiasAct(nn.Module):
                 (self.num_channels,),
             )
             b = b * self.lrmul
+        if return_bias:
+            # Fused kernels apply bias+act themselves; expose the runtime
+            # bias through the same param path so the tree is unchanged.
+            return b if b is not None else jnp.zeros(self.num_channels)
         out_gain = activation_funcs[self.act].def_gain * self.gain
         out_clamp = self.clamp * self.gain if self.clamp is not None else None
         return bias_act(x, b, act=self.act, gain=out_gain, clamp=out_clamp)

@@ -71,6 +71,51 @@ def _conv3x3_kernel(x_hbm, w_ref, o_ref, x_vmem, sems, *, tile_h, width):
     o_ref[0] = acc.reshape(tile_h, width, o).astype(o_ref.dtype)
 
 
+def _conv3x3_epilogue_kernel(x_hbm, w_ref, noise_ref, bias_ref, o_ref,
+                             x_vmem, sems, *, tile_h, width, gain, alpha):
+    """Fused synthesis-layer tail: conv + noise + bias + leaky_relu*gain.
+
+    Same double-buffered row pipeline as _conv3x3_kernel; noise_ref is a
+    regular pipelined block [1, tile_h, W, O] (pre-scaled, channel-
+    broadcast), bias_ref a [1, O] vector."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    c = x_vmem.shape[-1]
+    o = o_ref.shape[-1]
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def dma(s, tile_idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile_idx * tile_h, tile_h + 2)],
+            x_vmem.at[s], sems.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        dma(slot, i).start()
+
+    @pl.when(i + 1 < n_i)
+    def _():
+        dma(nxt, i + 1).start()
+
+    dma(slot, i).wait()
+
+    x = x_vmem[slot]
+    acc = jnp.zeros((tile_h * width, o), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = x[dy:dy + tile_h, dx:dx + width, :].reshape(
+                tile_h * width, c)
+            acc = acc + jnp.dot(win, w_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    y = acc.reshape(tile_h, width, o)
+    y = y + noise_ref[0].astype(jnp.float32)
+    y = y + bias_ref[0][None, None, :].astype(jnp.float32)
+    y = jnp.where(y >= 0, y, y * alpha) * gain
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
 def _pick_tile_h(h, c, o, w):
     budget = 7 * 1024 * 1024  # leave headroom for double-buffered out blocks
     for tile in (128, 64, 32, 16, 8, 4, 2, 1):
@@ -191,6 +236,121 @@ def conv3x3_same_packed(x, w, pack=None):
     # scatter automatically.
     y = conv3x3_same(xp, kp)
     return y.reshape(n, h, width, o)
+
+
+def _conv3x3_epilogue_pallas(x, k, noise, bias, gain, alpha):
+    """Packed-space fused conv+noise+bias+lrelu. x/noise packed NHWC;
+    k packed [3,3,PC,PO]; bias [PO]."""
+    n, h, width, c = x.shape
+    o = k.shape[-1]
+    wpad = -(-(width + 2) // 8) * 8
+    cpad = -(-c // 128) * 128
+    tile_h = _pick_tile_h(h, cpad, o, width)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wpad - width - 1), (0, cpad - c)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, cpad - c), (0, 0)))
+
+    return pl.pallas_call(
+        functools.partial(_conv3x3_epilogue_kernel, tile_h=tile_h,
+                          width=width, gain=float(gain), alpha=float(alpha)),
+        out_shape=jax.ShapeDtypeStruct((n, h, width, o), x.dtype),
+        grid=(n, h // tile_h),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3, cpad, o), lambda b, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, width, o), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, width, o),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, wpad, cpad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(xp, k.astype(x.dtype), noise, bias[None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_conv3x3_epilogue(x, k, noise, bias, gain, alpha, pack):
+    """y = leaky_relu(conv3x3(x, k) + noise + bias, alpha) * gain, with x
+    lane-packed by `pack` W-pixels. All in one VMEM-resident pallas pass.
+
+    x: [N,H,W,C]; k: pixel-space [3,3,C,O]; noise: [N,H,W,1] (pre-scaled);
+    bias: [O]. Returns [N,H,W,O]."""
+    return _fused_fwd_impl(x, k, noise, bias, gain, alpha, pack)
+
+
+def _fused_fwd_impl(x, k, noise, bias, gain, alpha, pack):
+    n, h, width, c = x.shape
+    o = k.shape[-1]
+    xp = x.reshape(n, h, width // pack, pack * c)
+    kp = _pack_kernel(k, pack)
+    noise_p = jnp.broadcast_to(noise, (n, h, width, o)).reshape(
+        n, h, width // pack, pack * o).astype(x.dtype)
+    bias_p = jnp.tile(bias.astype(x.dtype), pack)
+    y = _conv3x3_epilogue_pallas(xp, kp, noise_p, bias_p, gain, alpha)
+    return y.reshape(n, h, width, o)
+
+
+def _fused_fwd(x, k, noise, bias, gain, alpha, pack):
+    y = _fused_fwd_impl(x, k, noise, bias, gain, alpha, pack)
+    return y, (x, k, y)
+
+
+def _fused_bwd(gain, alpha, pack, res, g):
+    x, k, y = res
+    # leaky_relu preserves sign, so the pre-activation mask == sign(y).
+    g_pre = (g.astype(jnp.float32) * gain *
+             jnp.where(y >= 0, 1.0, alpha)).astype(g.dtype)
+    # dx: packed conv with spatially-flipped, IO-transposed kernel.
+    k_t = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = conv3x3_same_packed(g_pre, k_t.astype(g_pre.dtype))
+    # dk via shifted einsums (same as conv3x3_same's bwd).
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h, width = x.shape[1], x.shape[2]
+    taps = []
+    for dy in range(3):
+        row = []
+        for dxx in range(3):
+            win = xp[:, dy:dy + h, dxx:dxx + width, :]
+            row.append(jnp.einsum("nhwc,nhwo->co",
+                                  win.astype(jnp.float32),
+                                  g_pre.astype(jnp.float32)))
+        taps.append(jnp.stack(row))
+    dk = jnp.stack(taps).astype(k.dtype)
+    dnoise = jnp.sum(g_pre.astype(jnp.float32), axis=-1,
+                     keepdims=True).astype(g.dtype)
+    dbias = jnp.sum(g_pre.astype(jnp.float32), axis=(0, 1, 2)).astype(g.dtype)
+    return dx.astype(x.dtype), dk, dnoise, dbias
+
+
+fused_conv3x3_epilogue.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_synth_conv_eligible(x_shape, co, groups) -> bool:
+    """SynthesisLayer gate for the fused conv+noise+bias+lrelu pallas path.
+
+    Opt-in (MGT_FUSED_SYNTH=1): correct end to end, but currently net
+    slower in the full model (fwd 21.3 vs 14.9 ms) — the channel-broadcast
+    noise tensor materializes a full-image input per fused layer and the
+    dk einsum backward is unoptimized. Round-2: in-kernel noise broadcast
+    + pallas dk kernel."""
+    import jax
+
+    import os
+    if os.environ.get("MGT_FUSED_SYNTH", "0") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if groups != 1:
+        return False
+    n, h, w, c = x_shape
+    return (h == w and h >= 512 and c <= 64 and co <= 64
+            and w % max(1, 128 // max(c, co)) == 0)
 
 
 def pallas_conv_eligible(x_shape, w_shape, groups) -> bool:
