@@ -22,6 +22,7 @@ noise 0.05, noise_ramp 0.75, psi 0.7, `sample_{step}_{loss}.png` naming,
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Callable, Dict, Optional, Tuple
 
@@ -88,19 +89,21 @@ class ProjectionResult:
     per_image_loss: jnp.ndarray = None  # [B] per-image best losses
 
 
-def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
-                         latent_std, target, w_plus=None):
-    """Build the jitted scan body. `loss_fn(img, target) -> (scalar, dict)`.
-
-    The optimizer is Adam with torch-style (coupled) weight decay
-    (1024_example_MSE.py:117: Adam([latent], lr, weight_decay=1e-4)).
-    """
-    w_plus = cfg.w_plus if w_plus is None else w_plus
-    opt = optax.chain(
+def _make_opt(cfg: ProjectionConfig):
+    """Adam with torch-style (coupled) weight decay
+    (1024_example_MSE.py:117: Adam([latent], lr, weight_decay=1e-4))."""
+    return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale(-1.0),  # lr applied manually per step (cosine ramp)
     )
+
+
+def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
+                         latent_std, target, w_plus=None):
+    """Build the scan body. `loss_fn(img, target) -> (scalar, dict)`."""
+    w_plus = cfg.w_plus if w_plus is None else w_plus
+    opt = _make_opt(cfg)
 
     def synth(latent):
         if w_plus:
@@ -147,6 +150,14 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
     return opt, step_fn
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _run_chunk_jit(model, loss_fn, cfg, variables, target, latent_std,
+                   carry, steps_slice, noise_seq):
+    _, step_fn = make_projection_step(model, variables, loss_fn, cfg,
+                                      latent_std, target)
+    return jax.lax.scan(step_fn, carry, (steps_slice, noise_seq))
+
+
 def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
             latent_mean, latent_std, rng=None,
             progress: Optional[Callable[[int, float, float], None]] = None,
@@ -160,9 +171,7 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     else:
         latent = jnp.tile(latent_mean[None], (target.shape[0], 1, 1))
 
-    opt, step_fn = make_projection_step(model, variables, loss_fn, cfg,
-                                        latent_std, target)
-    opt_state = opt.init(latent)
+    opt_state = _make_opt(cfg).init(latent)
 
     # Per-image best trackers (reference inits min_loss=1.0; use +inf-ish so
     # the tracker always captures something).
@@ -170,9 +179,13 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     img_shape = (target.shape[0], target.shape[1], target.shape[2], target.shape[3])
     carry = (latent, opt_state, big, latent, jnp.zeros(img_shape), rng)
 
-    @jax.jit
     def run_chunk(carry, steps_slice, noise_seq):
-        return jax.lax.scan(step_fn, carry, (steps_slice, noise_seq))
+        # Module-level jitted runner: static args are hashable (frozen
+        # dataclasses / callables by identity), traced args carry the data —
+        # so repeated project() calls with the same model/config reuse the
+        # compiled scan instead of re-jitting fresh closures every call.
+        return _run_chunk_jit(model, loss_fn, cfg, variables, target,
+                              latent_std, carry, steps_slice, noise_seq)
 
     losses, comps_hist = [], []
     best_step = 0
