@@ -43,6 +43,7 @@ def bench_projection_steps(steps=100, warmup=10):
     latent = jnp.tile(mean[None], (1, 1, 1))
     carry = (latent, opt.init(latent), jnp.full((1,), 1e30, jnp.float32),
              latent, jnp.zeros_like(target, dtype=jnp.float32),
+             jnp.zeros((1,), jnp.int32),        # per-image best_step tracker
              jax.random.PRNGKey(2))
 
     @jax.jit

@@ -21,18 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def raw_pixel_detector(max_dim=256):
-    """Weight-free fallback detector: downsampled raw pixels (useful for
-    smoke runs and relative comparisons; real FID needs InceptionV3)."""
-    import numpy as np
-
-    def detector(imgs):
-        x = np.asarray(imgs, dtype=np.float32)
-        n = x.shape[0]
-        flat = x.reshape(n, -1)
-        step = max(1, flat.shape[1] // max_dim)
-        return flat[:, ::step][:, :max_dim]
-
-    return detector
+    from morphganformer_tpu.metrics.detector import raw_pixel_detector as f
+    return f(max_dim)
 
 
 def dataset_batches(path, resolution, batch=16, max_items=None):
@@ -79,8 +69,9 @@ def main():
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--run-dir", default=None)
-    p.add_argument("--detector", default="raw",
-                   help='"raw" pixel fallback, or a converted detector .npz')
+    p.add_argument("--detector", default="auto",
+                   help='"auto" (converted InceptionV3 via $MGT_INCEPTION_NPZ'
+                        ' or the cache, else raw pixels), "raw", or an .npz')
     # Morph QA mode.
     p.add_argument("--morph-qa", action="store_true")
     p.add_argument("--dir-a")
@@ -96,16 +87,12 @@ def main():
     from cli.generate import get_model
     from morphganformer_tpu.metrics.registry import compute_metric, report_metric
 
+    from morphganformer_tpu.metrics.detector import resolve_detector
+
     cfg, model, variables = get_model(args.model)
-    if args.detector == "raw":
-        detector = raw_pixel_detector()
-    else:
-        from morphganformer_tpu.metrics.inception import make_detector
-        from tools.convert_inception import load_inception_npz
-        params = load_inception_npz(args.detector)
-        kind = "probs" if any(m.startswith("is") for m in args.metrics) \
-            else "features"
-        detector = make_detector(params, kind=kind)
+    kind = "probs" if any(m.startswith("is") for m in args.metrics) \
+        else "features"
+    detector = resolve_detector(args.detector, kind=kind)
 
     for metric in args.metrics:
         dataset = dataset_batches(args.data, cfg.img_resolution,

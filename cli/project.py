@@ -46,12 +46,26 @@ def make_extra_terms(weights, args):
             extra[name] = make_lpips_loss(params, args.lpips_net)
         elif name == "wing":
             from morphganformer_tpu.losses.landmarks import (
-                load_landmark_npz, make_landmark_fn, random_landmark_params)
+                bundled_landmark_path, load_landmark_npz, make_landmark_fn,
+                random_landmark_params)
             from morphganformer_tpu.losses.wing import make_wing_loss_term
-            path = weight_path("landmark_weights", name)
+            path = getattr(args, "landmark_weights", None)
+            if path is None and not rand:
+                # Bundled synthetic-face-trained model (tools/
+                # train_landmarks.py) as the default; a converted real-data
+                # model via --landmark-weights is preferred for photos.
+                path = bundled_landmark_path()
+                if path:
+                    print(f"landmarks: bundled synthetic model ({path}); "
+                          "pass --landmark-weights for a real-data model")
+            if path is None and not rand:
+                raise SystemExit(
+                    "loss term 'wing' needs --landmark-weights "
+                    "(or --random-perceptual for a smoke run)")
             params = load_landmark_npz(path) if path else \
                 random_landmark_params()
-            extra[name] = make_wing_loss_term(make_landmark_fn(params))
+            extra[name] = make_wing_loss_term(
+                make_landmark_fn(params, temperature=0.05))
         elif name == "facenet":
             from morphganformer_tpu.losses.facenet import (
                 make_facenet_loss, random_facenet_params)
@@ -101,10 +115,33 @@ def run(args):
         steps=args.step, lr=args.lr, lr_rampup=args.lr_rampup,
         lr_rampdown=args.lr_rampdown, noise=args.noise,
         noise_ramp=args.noise_ramp, truncation_psi=args.truncation_psi,
-        n_mean_latent=args.n_mean_latent, chunk=args.chunk)
+        n_mean_latent=args.n_mean_latent, chunk=args.chunk,
+        w_plus=args.w_plus)
 
     weights = parse_loss_spec(args.loss)
+    # --lamda / --beta override the wing / mse term weights (reference
+    # 1024_example_wing_loss_perceptual_sqz_MSE.py:179:
+    # all_loss = p + lamda*wing + beta*mse).
+    if args.lamda is not None:
+        if "wing" not in weights:
+            raise SystemExit("--lamda sets the wing weight; add wing to --loss")
+        weights["wing"] = args.lamda
+    if args.beta is not None:
+        if "mse" not in weights:
+            raise SystemExit("--beta sets the mse weight; add mse to --loss")
+        weights["mse"] = args.beta
     loss_fn = build_loss_stack(weights, extra_terms=make_extra_terms(weights, args))
+    # --size: compute the loss at a reduced resolution (reference
+    # projection_example_v1.py:104: resize = min(args.size, model size)).
+    if args.size and args.size < cfg.img_resolution:
+        import jax.numpy as jnp
+        inner, size = loss_fn, args.size
+
+        def loss_fn(img, tgt, _inner=inner, _s=size):
+            shape = (img.shape[0], _s, _s, img.shape[3])
+            import jax as _jax
+            return _inner(_jax.image.resize(img, shape, "linear"),
+                          _jax.image.resize(tgt, shape, "linear"))
 
     rng = jax.random.PRNGKey(args.seed)
     rng, sub = jax.random.split(rng)
@@ -148,10 +185,14 @@ def build_parser():
                         '"lpips+0.01*wing+1*mse"')
     p.add_argument("--path_to_gen", default="images/projection")
     p.add_argument("--size", type=int, default=None,
-                   help="Unused; resolution comes from the checkpoint")
+                   help="Compute the loss at this resolution (downsamples "
+                        "both images when below the model resolution)")
     p.add_argument("--n_mean_latent", type=int, default=10000)
     p.add_argument("--step", type=int, default=5000)
-    p.add_argument("--lamda", type=float, default=0.5)
+    p.add_argument("--lamda", type=float, default=None,
+                   help="Wing-loss weight override (reference _sqz_MSE.py:179)")
+    p.add_argument("--beta", type=float, default=None,
+                   help="MSE weight override (reference _sqz_MSE.py:179)")
     p.add_argument("--lr_rampup", type=float, default=0.05)
     p.add_argument("--lr_rampdown", type=float, default=0.25)
     p.add_argument("--lr", type=float, default=0.1)
@@ -159,8 +200,10 @@ def build_parser():
     p.add_argument("--noise_ramp", type=float, default=0.75)
     p.add_argument("--ratio", type=float, default=1.0)
     p.add_argument("--truncation_psi", type=float, default=0.7)
-    p.add_argument("--noise_regularize", type=float, default=1e5)
-    p.add_argument("--w_plus", action="store_true")
+    # --noise_regularize deliberately dropped: the reference parses it but
+    # never calls its noise_regularize() (1024_example_MSE.py:31,203).
+    p.add_argument("--w_plus", action="store_true",
+                   help="Optimize per-layer W+ latents [k, num_ws, w_dim]")
     p.add_argument("--chunk", type=int, default=250)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-latent", default=None)

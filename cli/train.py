@@ -130,6 +130,12 @@ def main(argv=None):
     # Loop.
     p.add_argument("--kimg-per-tick", type=int, default=4)
     p.add_argument("--snapshot-ticks", type=int, default=50)
+    p.add_argument("--img-snapshot-ticks", type=int, default=50)
+    p.add_argument("--vis", nargs="*", default=["grid"],
+                   help="Visualization products at image-snapshot ticks: "
+                        "grid interp mixing attention noise (visualize.py)")
+    p.add_argument("--detector", default="auto",
+                   help='FID detector: "auto"|"raw"|<inception .npz>')
     p.add_argument("--max-ticks", type=int, default=None,
                    help="Stop after N ticks (smoke runs)")
     args = p.parse_args(argv)
@@ -147,7 +153,8 @@ def main(argv=None):
                                              f"{args.expname}-*")))
         snaps = [s for d in prev if (s := latest_snapshot(d))]
         assert snaps, "no snapshot to evaluate"
-        from cli.calc_metrics import dataset_batches, raw_pixel_detector
+        from cli.calc_metrics import dataset_batches
+        from morphganformer_tpu.metrics.detector import resolve_detector
         from morphganformer_tpu.checkpoint.io import load_generator
         from morphganformer_tpu.metrics.registry import (
             compute_metric, report_metric)
@@ -155,7 +162,9 @@ def main(argv=None):
         for metric in (args.metrics or ["fid2k_full"]):
             dataset = dataset_batches(args.data_dir, cfg.img_resolution,
                                       max_items=2000)
-            result = compute_metric(metric, detector=raw_pixel_detector(),
+            kind = "probs" if metric.startswith("is") else "features"
+            result = compute_metric(metric,
+                                    detector=resolve_detector(kind=kind),
                                     dataset=dataset,
                                     G=(model, variables, cfg), max_items=2000)
             report_metric(result, run_dir=os.path.dirname(snaps[-1]),
@@ -176,7 +185,9 @@ def main(argv=None):
     l_cfg = LoopConfig(run_dir=run_dir, total_kimg=args.total_kimg,
                        kimg_per_tick=args.kimg_per_tick,
                        snapshot_ticks=args.snapshot_ticks,
-                       eval_metrics=tuple(args.metrics))
+                       img_snapshot_ticks=args.img_snapshot_ticks,
+                       eval_metrics=tuple(args.metrics),
+                       vis=tuple(args.vis), detector=args.detector)
     training_loop(g_cfg, d_cfg, t_cfg, l_cfg, args.data_dir,
                   resume=resume, max_ticks=args.max_ticks)
 

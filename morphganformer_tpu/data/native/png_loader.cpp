@@ -279,6 +279,11 @@ void* loader_create(const char** paths, int num_files, int height, int width,
                     int channels, int batch_size, int num_threads,
                     int queue_depth, uint64_t seed, int shard_index,
                     int num_shards) {
+  // Reject degenerate configs instead of letting a worker thread index an
+  // empty path vector (undefined behavior) later.
+  if (paths == nullptr || num_files <= 0 || batch_size <= 0 || height <= 0 ||
+      width <= 0 || channels <= 0)
+    return nullptr;
   auto* l = new Loader();
   l->paths.assign(paths, paths + num_files);
   l->height = height;

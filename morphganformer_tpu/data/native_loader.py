@@ -101,12 +101,17 @@ class NativeBatchLoader:
         self._lib = get_library()
         assert self._lib is not None, \
             f"native loader unavailable: {_build_error}"
+        if not files:
+            raise FileNotFoundError(
+                "NativeBatchLoader: empty file list (wrong dataset path?)")
         self.shape = (batch_size, height, width, channels)
         arr = (ctypes.c_char_p * len(files))(
             *[f.encode() for f in files])
         self._handle = self._lib.loader_create(
             arr, len(files), height, width, channels, batch_size,
             num_threads, queue_depth, seed, shard_index, num_shards)
+        if not self._handle:
+            raise ValueError("loader_create rejected the configuration")
         self._buf = np.empty(self.shape, dtype=np.uint8)
         self._last_error_count = 0
 
@@ -143,16 +148,28 @@ class NativeBatchLoader:
 def native_infinite_batches(dataset_path, resolution, batch_size,
                             shard_index=0, num_shards=1, seed=0,
                             drange=(-1.0, 1.0), num_threads=4):
-    """Drop-in for data.dataset.infinite_batches backed by the C++ loader."""
+    """Drop-in for data.dataset.infinite_batches backed by the C++ loader.
+
+    Not itself a generator: the glob and the NativeBatchLoader construction
+    run eagerly so a wrong dataset path / unavailable toolchain raises HERE,
+    inside the caller's try/except fallback (training/loop.py), instead of at
+    the first next() long after the fallback window has closed."""
     import glob
 
     files = sorted(glob.glob(os.path.join(dataset_path, str(resolution),
                                           "*.png")))
+    if not files:
+        raise FileNotFoundError(
+            f"no PNGs under {dataset_path}/{resolution}/")
     loader = NativeBatchLoader(files, resolution, resolution, 3, batch_size,
                                num_threads=num_threads, seed=seed,
                                shard_index=shard_index, num_shards=num_shards)
     lo, hi = drange
     scale = (hi - lo) / 255.0
     labels = np.zeros((batch_size, 0), dtype=np.float32)
-    for batch in loader:
-        yield batch.astype(np.float32) * scale + lo, labels
+
+    def _gen():
+        for batch in loader:
+            yield batch.astype(np.float32) * scale + lo, labels
+
+    return _gen()

@@ -90,6 +90,19 @@ def random_landmark_params(width=64, seed=0) -> Dict:
     return p
 
 
+def bundled_landmark_path():
+    """Path to the committed synthetic-face-trained model
+    (tools/train_landmarks.py), or None if absent. Overridable via
+    $MGT_LANDMARK_NPZ (e.g. a converted real-data model)."""
+    import os
+    env = os.environ.get("MGT_LANDMARK_NPZ")
+    if env and os.path.exists(env):
+        return env
+    path = os.path.join(os.path.dirname(__file__), "weights",
+                        "landmarks_synthetic.npz")
+    return path if os.path.exists(path) else None
+
+
 def load_landmark_npz(path) -> Dict:
     data = np.load(path)
     p = {}

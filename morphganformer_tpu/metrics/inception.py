@@ -222,3 +222,25 @@ def random_inception_params(seed=0) -> Dict:
     p["fc_w"] = jnp.asarray(rng.randn(2048, 1000).astype(np.float32) * 0.01)
     p["fc_b"] = jnp.zeros(1000, jnp.float32)
     return p
+
+
+def load_inception_npz(path):
+    """Rebuild the params tree from a converted .npz
+    (tools/convert_inception.py writes it; key layout documented there)."""
+    import numpy as np
+
+    data = np.load(path)
+    params = {}
+    for key in data.files:
+        if key in ("fc_w", "fc_b"):
+            params[key] = jnp.asarray(data[key])
+            continue
+        name, leaf = key.rsplit("_", 1)
+        if "." in name:
+            block, branch = name.split(".", 1)
+            params.setdefault(block, {}).setdefault(branch, {})[
+                {"w": "w", "scale": "scale", "shift": "shift"}[leaf]] = \
+                jnp.asarray(data[key])
+        else:
+            params.setdefault(name, {})[leaf] = jnp.asarray(data[key])
+    return params

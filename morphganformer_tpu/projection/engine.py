@@ -58,22 +58,23 @@ def cosine_ramp_lr(t, initial_lr, rampdown=0.25, rampup=0.05):
 def latent_stats(model, variables, cfg_model, rng, n_mean_latent=10000,
                  batch=2048):
     """Mean/std of the z prior (reference 1024_example_MSE.py:211-215).
-    std is the reference's global scalar: sqrt(sum((z - mean)^2) / n)."""
+    std is the reference's global scalar: sqrt(sum((z - mean)^2) / n).
+    Streaming 2-accumulator form — sum(z) [k,z_dim] and sum(z^2) scalar —
+    so memory is O(k*z_dim), not O(n_mean_latent):
+    sum((z - mean)^2) = sum(z^2) - n * sum(mean^2)."""
     k, z_dim = cfg_model.k, cfg_model.z_dim
     total = jnp.zeros((k, z_dim))
     total_sq = jnp.zeros(())
-    # Two-pass is unnecessary: accumulate sum and sum-of-squares.
     n_done = 0
-    sums, sqs = [], []
     while n_done < n_mean_latent:
         b = min(batch, n_mean_latent - n_done)
         rng, sub = jax.random.split(rng)
         z = jax.random.normal(sub, (b, k, z_dim))
-        sums.append(jnp.sum(z, axis=0))
-        sqs.append(z)
+        total = total + jnp.sum(z, axis=0)
+        total_sq = total_sq + jnp.sum(jnp.square(z))
         n_done += b
-    mean = sum(sums) / n_mean_latent
-    sq = sum(jnp.sum(jnp.square(z - mean)) for z in sqs)
+    mean = total / n_mean_latent
+    sq = total_sq - n_mean_latent * jnp.sum(jnp.square(mean))
     std = jnp.sqrt(sq / n_mean_latent)
     return mean, std
 
@@ -83,10 +84,11 @@ class ProjectionResult:
     latent: jnp.ndarray          # best latents [B, k, z_dim] (or ws)
     best_img: jnp.ndarray        # G(best latents), NHWC in [-1,1]
     best_loss: float             # mean of per-image bests
-    best_step: int
+    best_step: int               # last step at which any image improved
     loss_history: jnp.ndarray    # [steps] per-step mean loss
     components_history: Dict[str, jnp.ndarray]
     per_image_loss: jnp.ndarray = None  # [B] per-image best losses
+    per_image_step: jnp.ndarray = None  # [B] step at which each best occurred
 
 
 def _make_opt(cfg: ProjectionConfig):
@@ -119,7 +121,8 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
         # step_in: (step_idx, unit-normal noise) — noise is pre-generated per
         # chunk outside the scan (cheaper than per-step threefry inside).
         step_idx, noise_unit = step_in
-        latent, opt_state, best_loss, best_latent, best_img, rng = carry
+        (latent, opt_state, best_loss, best_latent, best_img, best_step,
+         rng) = carry
         t = step_idx.astype(jnp.float32) / cfg.steps
         lr = cosine_ramp_lr(t, cfg.lr, cfg.lr_rampdown, cfg.lr_rampup)
         noise_strength = latent_std * cfg.noise * \
@@ -144,7 +147,12 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
         expand = (slice(None),) + (None,) * (latent.ndim - 1)
         best_latent = jnp.where(improved[expand], latent_n, best_latent)
         best_img = jnp.where(improved[:, None, None, None], img, best_img)
-        new_carry = (latent, opt_state, best_loss, best_latent, best_img, rng)
+        # Track the step at which each image's best occurred under the SAME
+        # predicate as the latent/image (ADVICE r1: argmin over chunk means
+        # could disagree with the returned latent).
+        best_step = jnp.where(improved, step_idx, best_step)
+        new_carry = (latent, opt_state, best_loss, best_latent, best_img,
+                     best_step, rng)
         return new_carry, (loss, comps)
 
     return opt, step_fn
@@ -162,14 +170,32 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
             latent_mean, latent_std, rng=None,
             progress: Optional[Callable[[int, float, float], None]] = None,
             init_latent=None) -> ProjectionResult:
-    """Run the full projection. target: [1,H,W,3] NHWC in [-1,1]."""
+    """Run the full projection. target: [1,H,W,3] NHWC in [-1,1].
+
+    In W+ mode (cfg.w_plus) the optimized variable is the full per-layer
+    latent ws [B, k, num_ws, w_dim]; a z-shaped init (the prior mean or a
+    stored z latent) is pushed through the mapping network with the
+    configured truncation first. The latent-noise scale stays the z-prior
+    std in both modes (the reference scripts only implement z-space,
+    1024_example_MSE.py:134-135)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    k, z_dim = latent_mean.shape
     if init_latent is not None:
         latent = jnp.asarray(init_latent)
-        if latent.ndim == 2:
+        is_z = latent.shape[-2:] == (k, z_dim)   # z vs stored W+ latent
+        if latent.ndim == (2 if is_z else 3):    # add batch dim
             latent = latent[None]
     else:
         latent = jnp.tile(latent_mean[None], (target.shape[0], 1, 1))
+        is_z = True
+    if cfg.w_plus and is_z:
+        # z -> ws through mapping (+ truncation), then optimize ws directly.
+        latent = model.apply(variables, latent,
+                             truncation_psi=cfg.truncation_psi,
+                             skip_w_avg_update=True,
+                             method=type(model).run_mapping)
+    if latent.shape[0] != target.shape[0]:
+        latent = jnp.tile(latent, (target.shape[0],) + (1,) * (latent.ndim - 1))
 
     opt_state = _make_opt(cfg).init(latent)
 
@@ -177,7 +203,8 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     # the tracker always captures something).
     big = jnp.full((target.shape[0],), 1e30, jnp.float32)
     img_shape = (target.shape[0], target.shape[1], target.shape[2], target.shape[3])
-    carry = (latent, opt_state, big, latent, jnp.zeros(img_shape), rng)
+    steps0 = jnp.zeros((target.shape[0],), jnp.int32)
+    carry = (latent, opt_state, big, latent, jnp.zeros(img_shape), steps0, rng)
 
     def run_chunk(carry, steps_slice, noise_seq):
         # Module-level jitted runner: static args are hashable (frozen
@@ -188,9 +215,7 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
                               latent_std, carry, steps_slice, noise_seq)
 
     losses, comps_hist = [], []
-    best_step = 0
     n_chunks = max(1, math.ceil(cfg.steps / cfg.chunk))
-    prev_best = float("inf")
     for ci in range(n_chunks):
         lo = ci * cfg.chunk
         hi = min(cfg.steps, lo + cfg.chunk)
@@ -200,25 +225,22 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
         rng, sub = jax.random.split(rng)
         noise_seq = jax.random.normal(sub, (hi - lo, *latent.shape))
         carry, (chunk_losses, chunk_comps) = run_chunk(carry, idx, noise_seq)
-        cur_best = float(jnp.mean(carry[2]))  # forces device sync per chunk
         losses.append(chunk_losses)
         comps_hist.append(chunk_comps)
-        if cur_best < prev_best:
-            arr = jnp.asarray(chunk_losses)
-            best_step = lo + int(jnp.argmin(arr))
-            prev_best = cur_best
         if progress is not None:
+            cur_best = float(jnp.mean(carry[2]))  # forces device sync
             progress(hi, float(chunk_losses[-1]), cur_best)
 
-    latent, _, best_loss, best_latent, best_img, _ = carry
+    latent, _, best_loss, best_latent, best_img, best_steps, _ = carry
     comps = {k: jnp.concatenate([c[k] for c in comps_hist])
              for k in comps_hist[0]} if comps_hist else {}
     return ProjectionResult(
         latent=best_latent,
         best_img=best_img,
         best_loss=float(jnp.mean(best_loss)),
-        best_step=best_step,
+        best_step=int(jnp.max(best_steps)),
         loss_history=jnp.concatenate(losses),
         components_history=comps,
         per_image_loss=best_loss,
+        per_image_step=best_steps,
     )

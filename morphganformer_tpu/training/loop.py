@@ -45,8 +45,15 @@ class LoopConfig:
     snapshot_ticks: int = 50
     img_snapshot_ticks: int = 50
     last_snapshots: int = 10          # retention GC (training_loop.py:129-130)
-    eval_metrics: tuple = ()
+    eval_metrics: tuple = ()          # computed at snapshot ticks (:227-236)
     eval_images_num: int = 50000
+    eval_batch: int = 16
+    detector: str = "auto"            # "auto"|"raw"|<inception .npz path>
+    # Visualization outputs at image-snapshot ticks (reference visualize.py
+    # vis(), invoked from training_loop.py). "grid" is the bare fakes grid;
+    # the rest mirror the reference's richer vis() products.
+    vis: tuple = ("grid",)            # of: grid, interp, mixing, attention, noise
+    tensorboard: bool = True          # tfevents mirror of stats.jsonl
     seed: int = 0
 
 
@@ -123,6 +130,12 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
 
     collector = Collector()
     stats_jsonl = os.path.join(l_cfg.run_dir, "stats.jsonl")
+    tb_writer = None
+    if l_cfg.tensorboard and jax.process_index() == 0:
+        # tfevents mirror (reference training_loop.py:266-273,295-302);
+        # dependency-free writer, see training/tensorboard.py.
+        from morphganformer_tpu.training.tensorboard import EventWriter
+        tb_writer = EventWriter(l_cfg.run_dir)
     rng = jax.random.PRNGKey(l_cfg.seed + jax.process_index())
 
     cur_nimg = int(jax.device_get(state["cur_nimg"]))
@@ -156,19 +169,74 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
             shutil.rmtree(old, ignore_errors=True)
         return snap_dir
 
-    def save_image_grid():
+    def _gs_vars():
         gs_vars = {"params": state["gs_params"]}
         if state.get("gs_stats"):
             gs_vars["moving_stats"] = state["gs_stats"]
         if "buffers" in state["g"]:
             gs_vars["buffers"] = state["g"]["buffers"]
-        z = jax.random.normal(jax.random.PRNGKey(0),
-                              (16, g_cfg.k, g_cfg.z_dim))
-        imgs = trainer.G.apply(gs_vars, z, truncation_psi=0.7,
-                               noise_mode="const")
+        return gs_vars
+
+    def save_visualizations():
+        """Image-snapshot products (reference training_loop.py -> vis(),
+        visualize.py:60): fakes grid + the vis suite selected by l_cfg.vis."""
+        from morphganformer_tpu.training import visualize as vz
+
+        gs_vars = _gs_vars()
         kimg = int(jax.device_get(state["cur_nimg"])) // 1000
-        create_img_grid(jax.device_get(imgs)).save(
-            os.path.join(l_cfg.run_dir, f"fakes{kimg:06d}.png"))
+        if "grid" in l_cfg.vis:
+            z = jax.random.normal(jax.random.PRNGKey(0),
+                                  (16, g_cfg.k, g_cfg.z_dim))
+            imgs = trainer.G.apply(gs_vars, z, truncation_psi=0.7,
+                                   noise_mode="const")
+            create_img_grid(jax.device_get(imgs)).save(
+                os.path.join(l_cfg.run_dir, f"fakes{kimg:06d}.png"))
+        extras = [v for v in l_cfg.vis if v != "grid"]
+        if not extras:
+            return
+        vis_dir = os.path.join(l_cfg.run_dir, f"vis{kimg:06d}")
+        os.makedirs(vis_dir, exist_ok=True)
+        if "interp" in extras:
+            vz.interpolation_grid(trainer.G, gs_vars, g_cfg,
+                                  path=os.path.join(vis_dir, "interpolation.png"))
+        if "mixing" in extras:
+            vz.style_mixing_table(trainer.G, gs_vars, g_cfg,
+                                  path=os.path.join(vis_dir, "style_mixing.png"))
+        if "attention" in extras:
+            vz.attention_blends(trainer.G, gs_vars, g_cfg, out_dir=vis_dir)
+        if "noise" in extras and g_cfg.local_noise:
+            vz.noise_variance_map(trainer.G, gs_vars, g_cfg,
+                                  path=os.path.join(vis_dir, "noise_map.png"))
+
+    def evaluate(snapshot_dir=None):
+        """In-training metric evaluation at snapshot ticks (reference
+        training_loop.py:227-236,361-363 -> metric_main.compute_metric)."""
+        if not l_cfg.eval_metrics:
+            return
+        from morphganformer_tpu.metrics.detector import resolve_detector
+        from morphganformer_tpu.metrics.registry import (
+            compute_metric, report_metric)
+
+        gs_vars = _gs_vars()
+        for metric in l_cfg.eval_metrics:
+            kind = "probs" if metric.startswith("is") else "features"
+            detector = resolve_detector(l_cfg.detector, kind=kind)
+
+            def data_iter():
+                n = 0
+                while n < l_cfg.eval_images_num:
+                    b = min(l_cfg.eval_batch, len(dataset) - n % len(dataset))
+                    imgs = np.stack([dataset[(n + j) % len(dataset)][0]
+                                     for j in range(b)])
+                    yield imgs
+                    n += b
+
+            result = compute_metric(
+                metric, detector=detector, dataset=data_iter(),
+                G=(trainer.G, gs_vars, g_cfg), batch=l_cfg.eval_batch,
+                max_items=l_cfg.eval_images_num)
+            report_metric(result, run_dir=l_cfg.run_dir,
+                          snapshot_pkl=snapshot_dir)
 
     ticks_done = 0
     while cur_nimg < l_cfg.total_kimg * 1000:
@@ -193,16 +261,26 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
                        for k in collector.names() if k.startswith("Loss/")]
             print(" | ".join(fields), flush=True)
             collector.write_jsonl(stats_jsonl, kimg=cur_nimg / 1000, tick=tick)
+            if tb_writer is not None:
+                tb_writer.add_scalars(
+                    cur_nimg,
+                    {name: collector.mean(name) for name in collector.names()}
+                    | {"Timing/sec_per_tick": now - tick_start,
+                       "Timing/total_sec": now - start_time})
             collector.reset()
             tick_start = now
             if jax.process_index() == 0:
                 if tick % l_cfg.img_snapshot_ticks == 0:
-                    save_image_grid()
+                    save_visualizations()
                 if tick % l_cfg.snapshot_ticks == 0:
-                    maybe_snapshot()
+                    snap = maybe_snapshot()
+                    evaluate(snapshot_dir=snap)
             if max_ticks is not None and ticks_done >= max_ticks:
                 break
 
     if jax.process_index() == 0:
-        maybe_snapshot(force=True)
+        snap = maybe_snapshot(force=True)
+        evaluate(snapshot_dir=snap)
+    if tb_writer is not None:
+        tb_writer.close()
     return state

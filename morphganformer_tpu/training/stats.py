@@ -6,9 +6,12 @@ moment triples [n, sum(x), sum(x^2)] accumulated lock-free per device
 mean/std; report/report0 API (:63-89).
 
 Here stats are plain numpy moment triples accumulated on host from the
-jitted step's aux outputs; the cross-process sync is a `psum` of the triples
-when running multi-host (the jitted steps already return globally-reduced
-scalars under SPMD, so single-controller runs need no extra sync).
+jitted step's aux outputs. No explicit cross-process sync is needed or
+implemented: the jitted steps compute their scalars over the globally
+sharded batch, so under SPMD every process already observes the
+globally-reduced value; each host's Collector therefore holds identical
+moments (the reference needed an all_reduce because each rank computed
+only its own shard, training_stats.py:222-226).
 """
 
 from __future__ import annotations

@@ -10,8 +10,19 @@ TPU-first: instead of one process per GPU + DDP/NCCL allreduce
 (run_network.py:394-402), all nets live replicated on a
 `jax.sharding.Mesh(('data',))` and the batch is sharded along 'data'; the
 SPMD partitioner inserts the gradient all-reduce over ICI automatically.
-Gradient accumulation (training_loop.py:186-209) is a `lax.scan` over
-microbatches inside the jitted step.
+
+Gradient accumulation (reference training_loop.py:186-209 +
+torch_utils/misc.py:147-154): every stage step takes microbatched inputs
+shaped [n_accum, micro, ...] and runs a `lax.scan` over the leading axis,
+accumulating gradients and threading the sequential buffers (w_avg
+moving_stats, pl_mean) through the carry exactly like the reference's
+per-round forward passes. One optimizer update fires after the scan. The
+accumulated gradient is the MEAN over rounds, so a (batch_size, batch_gpu)
+split produces the same update as one full-batch pass — the reference sums
+per-round mean-loss grads instead, which only rescales Adam's invariant
+update; the mean form is the one that keeps accumulation semantics exact.
+n_accum = batch_size // (batch_gpu * num_devices), matching
+run_network.py:463-468 (batch 32 = 4/chip x accumulation).
 """
 
 from __future__ import annotations
@@ -29,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from morphganformer_tpu.models.config import DiscriminatorConfig, GANformerConfig
 from morphganformer_tpu.models.discriminator import Discriminator
 from morphganformer_tpu.models.generator import Generator
+from morphganformer_tpu.parallel.mesh import make_data_mesh  # noqa: F401 (re-export)
 from morphganformer_tpu.training.loss import (
     LossConfig,
     d_main_loss,
@@ -96,6 +108,15 @@ class GANTrainer:
                                     cfg.g_reg_interval)
         self.d_opt = make_optimizer(cfg.d_lr, cfg.beta1, cfg.beta2, cfg.eps,
                                     cfg.d_reg_interval)
+        # Accumulation rounds (reference run_network.py:463-468: global batch
+        # = batch_gpu * num_gpus * rounds). batch_gpu None/0 disables.
+        n_dev = mesh.devices.size if mesh is not None else 1
+        per_step = (cfg.batch_gpu or 0) * n_dev
+        self.n_accum = max(1, cfg.batch_size // per_step) if per_step else 1
+        if cfg.batch_size % max(self.n_accum, 1):
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible into "
+                f"{self.n_accum} accumulation rounds")
 
     # -------------- state --------------
 
@@ -132,7 +153,16 @@ class GANTrainer:
             return x
         return jax.device_put(x, NamedSharding(self.mesh, P("data")))
 
+    def _shard_micro(self, x):
+        """Microbatched arrays [n_accum, micro, ...]: shard axis 1 (batch)."""
+        if self.mesh is None or x is None:
+            return x
+        return jax.device_put(x, NamedSharding(self.mesh, P(None, "data")))
+
     # -------------- stages --------------
+    # Every stage step takes microbatched inputs [n_accum, micro, ...] and
+    # scans over the accumulation rounds (reference training_loop.py:186-209),
+    # applying ONE optimizer update on the round-mean gradient.
 
     def _g_vars(self, state):
         v = {"params": state["g"]["params"]}
@@ -142,55 +172,109 @@ class GANTrainer:
             v["buffers"] = state["g"]["buffers"]
         return v
 
+    def _accum(self, round_fn, params, xs, carry_extra):
+        """Scan `round_fn(extra, xs_round) -> (grads, aux, extra)` over the
+        leading accumulation axis; returns (scrubbed mean grads, mean aux,
+        final extra)."""
+        n_accum = jax.tree_util.tree_leaves(xs)[0].shape[0]
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+
+        def body(carry, xs_round):
+            grads_acc, extra = carry
+            grads, aux, extra = round_fn(extra, xs_round)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
+            return (grads_acc, extra), aux
+
+        (grads_acc, extra), auxs = jax.lax.scan(body, (zero, carry_extra), xs)
+        grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads_acc)
+        aux = jax.tree_util.tree_map(jnp.mean, auxs)
+        return _nan_scrub(grads), aux, extra
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def g_main_step(self, state, z, c, rng):
-        def loss_fn(params):
-            g_vars = dict(self._g_vars(state), params=params)
-            return g_main_loss(self.G, self.D, g_vars, {"params": state["d"]["params"]},
-                               z, c, rng, self.cfg.loss)
+        """z: [n_accum, micro, k, z_dim]. Threads the w_avg moving_stats
+        through the rounds so each round's mapping sees the previous round's
+        EMA, like the reference's sequential per-round forwards."""
+        rngs = jax.random.split(rng, z.shape[0])
+        has_stats = "moving_stats" in state["g"]
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["g"]["params"])
-        grads = _nan_scrub(grads)
+        def round_fn(stats, xs):
+            z_r, c_r, rng_r = xs
+
+            def loss_fn(params):
+                g_vars = {"params": params}
+                if has_stats:
+                    g_vars["moving_stats"] = stats
+                if "buffers" in state["g"]:
+                    g_vars["buffers"] = state["g"]["buffers"]
+                return g_main_loss(self.G, self.D, g_vars,
+                                   {"params": state["d"]["params"]},
+                                   z_r, c_r, rng_r, self.cfg.loss)
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["g"]["params"])
+            new_stats = aux.pop("moving_stats")
+            stats = new_stats if new_stats is not None else stats
+            return grads, aux, stats
+
+        stats0 = state["g"]["moving_stats"] if has_stats else {}
+        grads, aux, stats = self._accum(round_fn, state["g"]["params"],
+                                        (z, c, rngs), stats0)
         updates, new_opt = self.g_opt.update(grads, state["g_opt"],
                                              state["g"]["params"])
         state["g"]["params"] = optax.apply_updates(state["g"]["params"], updates)
         state["g_opt"] = new_opt
-        new_stats = aux.pop("moving_stats")
-        if new_stats is not None:
-            state["g"]["moving_stats"] = new_stats
+        if has_stats:
+            state["g"]["moving_stats"] = stats
         return state, aux
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def g_reg_step(self, state, z, c, rng):
         gain = float(self.cfg.g_reg_interval or 1)
+        rngs = jax.random.split(rng, z.shape[0])
 
-        def loss_fn(params):
-            g_vars = dict(self._g_vars(state), params=params)
-            loss, aux = g_pl_loss(self.G, g_vars, z, c, rng, state["pl_mean"],
-                                  self.cfg.loss)
-            return loss * gain, aux
+        def round_fn(pl_mean, xs):
+            z_r, c_r, rng_r = xs
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["g"]["params"])
-        grads = _nan_scrub(grads)
+            def loss_fn(params):
+                g_vars = dict(self._g_vars(state), params=params)
+                loss, aux = g_pl_loss(self.G, g_vars, z_r, c_r, rng_r,
+                                      pl_mean, self.cfg.loss)
+                return loss * gain, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["g"]["params"])
+            return grads, aux, aux.pop("pl_mean")
+
+        grads, aux, pl_mean = self._accum(round_fn, state["g"]["params"],
+                                          (z, c, rngs), state["pl_mean"])
         updates, new_opt = self.g_opt.update(grads, state["g_opt"],
                                              state["g"]["params"])
         state["g"]["params"] = optax.apply_updates(state["g"]["params"], updates)
         state["g_opt"] = new_opt
-        state["pl_mean"] = aux.pop("pl_mean")
+        state["pl_mean"] = pl_mean
         return state, aux
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def d_main_step(self, state, real_img, z, c, rng):
-        def loss_fn(params):
-            return d_main_loss(self.G, self.D, self._g_vars(state),
-                               {"params": params}, real_img, z, c, rng,
-                               self.cfg.loss)
+        rngs = jax.random.split(rng, z.shape[0])
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["d"]["params"])
-        grads = _nan_scrub(grads)
+        def round_fn(carry, xs):
+            real_r, z_r, c_r, rng_r = xs
+
+            def loss_fn(params):
+                return d_main_loss(self.G, self.D, self._g_vars(state),
+                                   {"params": params}, real_r, z_r, c_r,
+                                   rng_r, self.cfg.loss)
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["d"]["params"])
+            return grads, aux, carry
+
+        grads, aux, _ = self._accum(round_fn, state["d"]["params"],
+                                    (real_img, z, c, rngs), 0)
         updates, new_opt = self.d_opt.update(grads, state["d_opt"],
                                              state["d"]["params"])
         state["d"]["params"] = optax.apply_updates(state["d"]["params"], updates)
@@ -201,14 +285,20 @@ class GANTrainer:
     def d_reg_step(self, state, real_img, c):
         gain = float(self.cfg.d_reg_interval or 1)
 
-        def loss_fn(params):
-            loss, aux = d_r1_loss(self.D, {"params": params}, real_img, c,
-                                  self.cfg.loss)
-            return loss * gain, aux
+        def round_fn(carry, xs):
+            real_r, c_r = xs
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["d"]["params"])
-        grads = _nan_scrub(grads)
+            def loss_fn(params):
+                loss, aux = d_r1_loss(self.D, {"params": params}, real_r,
+                                      c_r, self.cfg.loss)
+                return loss * gain, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["d"]["params"])
+            return grads, aux, carry
+
+        grads, aux, _ = self._accum(round_fn, state["d"]["params"],
+                                    (real_img, c), 0)
         updates, new_opt = self.d_opt.update(grads, state["d_opt"],
                                              state["d"]["params"])
         state["d"]["params"] = optax.apply_updates(state["d"]["params"], updates)
@@ -229,14 +319,24 @@ class GANTrainer:
     # -------------- one full iteration --------------
 
     def train_iteration(self, state, real_img, rng, step: int, c=None):
-        """Run all stages due at `step` on one global batch."""
+        """Run all stages due at `step` on one global batch, split into
+        n_accum microbatch rounds (reference training_loop.py:186-209)."""
         g_cfg = self.g_cfg
-        real_img = self._shard_batch(real_img)
-        c = self._shard_batch(c)
         batch = real_img.shape[0]
+        n = self.n_accum if batch % self.n_accum == 0 else 1
+        micro = batch // n
+
+        def to_micro(x):
+            if x is None:
+                return None
+            x = jnp.asarray(x).reshape((n, micro) + x.shape[1:])
+            return self._shard_micro(x)
+
+        real_img = to_micro(real_img)
+        c = to_micro(c)
         rngs = jax.random.split(rng, 8)
-        z = jax.random.normal(rngs[0], (batch, g_cfg.k, g_cfg.z_dim))
-        z = self._shard_batch(z)
+        z = self._shard_micro(
+            jax.random.normal(rngs[0], (n, micro, g_cfg.k, g_cfg.z_dim)))
 
         stats = {}
         state, aux = self.g_main_step(state, z, c, rngs[1])
@@ -251,12 +351,6 @@ class GANTrainer:
             stats.update(aux)
         state = self.ema_step(state)
         return state, stats
-
-
-def make_data_mesh(devices=None) -> Mesh:
-    """1-axis data-parallel mesh over all devices (SURVEY.md §2.8)."""
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), ("data",))
 
 
 def dryrun_train_step(n_devices: int) -> None:
@@ -275,7 +369,9 @@ def dryrun_train_step(n_devices: int) -> None:
         attention=AttentionConfig())
     d_cfg = DiscriminatorConfig(img_resolution=16, channel_base=256,
                                 channel_max=32, mbstd_group_size=2)
-    cfg = TrainConfig(batch_size=2 * n_devices, batch_gpu=2)
+    # batch_gpu=1 -> n_accum=2: the dry run exercises the microbatch scan
+    # and the (None, 'data') sharding together.
+    cfg = TrainConfig(batch_size=2 * n_devices, batch_gpu=1)
 
     trainer = GANTrainer(g_cfg, d_cfg, cfg, mesh=mesh)
     with mesh:

@@ -38,3 +38,65 @@ def test_generation_batch_sharded_matches_single_device():
             vars_rep, z_sharded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """batch 8 @ batch_gpu 2 (4 scan rounds) must produce the same G and D
+    updates as one full-batch step (VERDICT r1 #2). Stochastic pieces
+    (style mixing, per-layer noise, path-length noise) are disabled, and
+    minibatch-std is off — mbstd couples samples across the batch, so its
+    groups legitimately differ between accumulation schedules (true of the
+    reference too). Everything else is per-sample, so mean-of-round-means
+    equals the full-batch mean exactly."""
+    import jax.numpy as jnp
+    from morphganformer_tpu.models.config import (
+        AttentionConfig, DiscriminatorConfig, GANformerConfig, MappingConfig)
+    from morphganformer_tpu.training.loss import LossConfig
+    from morphganformer_tpu.training.train_step import GANTrainer, TrainConfig
+
+    g_cfg = GANformerConfig(
+        img_resolution=16, z_dim=8, w_dim=8, k=3, channel_base=256,
+        channel_max=32, end_res=3, local_noise=False,
+        mapping=MappingConfig(num_layers=2),
+        attention=AttentionConfig(dropout=0.0))  # dropout rng is per-round
+    d_cfg = DiscriminatorConfig(img_resolution=16, channel_base=256,
+                                channel_max=32, mbstd_num_channels=0)
+    loss = LossConfig(style_mixing=0.0, component_mixing=0.0)
+
+    def run(batch_gpu):
+        cfg = TrainConfig(batch_size=8, batch_gpu=batch_gpu,
+                          g_reg_interval=None, d_reg_interval=16, loss=loss)
+        trainer = GANTrainer(g_cfg, d_cfg, cfg, mesh=None)
+        state = trainer.init_state(seed=0)
+        real = jax.random.normal(jax.random.PRNGKey(7), (8, 16, 16, 3))
+        state, _ = trainer.train_iteration(state, real,
+                                           jax.random.PRNGKey(1), step=0)
+        return trainer, jax.device_get(state)
+
+    t_full, s_full = run(batch_gpu=8)   # n_accum = 1
+    t_mb, s_mb = run(batch_gpu=2)       # n_accum = 4
+    assert t_full.n_accum == 1 and t_mb.n_accum == 4
+
+    # Compare the gradients Adam consumed, via the optimizer state: with
+    # beta1=0 the first moment IS the step's gradient, and nu = (1-b2)*g^2.
+    # (Comparing post-Adam params directly is ill-conditioned: at step 1 the
+    # update is ~ lr*sign(g), so coordinates whose per-sample grads nearly
+    # cancel flip sign under float reassociation.)
+    for opt in ("g_opt", "d_opt"):
+        flat_full = jax.tree_util.tree_leaves_with_path(s_full[opt])
+        flat_mb = dict(jax.tree_util.tree_leaves_with_path(s_mb[opt]))
+        assert flat_full, opt
+        for path, leaf in flat_full:
+            np.testing.assert_allclose(
+                np.asarray(flat_mb[path]), np.asarray(leaf),
+                rtol=1e-4, atol=1e-7,
+                err_msg=f"{opt}{jax.tree_util.keystr(path)}")
+    # And the params did move.
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s_mb["g"]["params"],
+        jax.device_get(GANTrainer(g_cfg, d_cfg,
+                                  TrainConfig(batch_size=8, batch_gpu=2,
+                                              g_reg_interval=None, loss=loss),
+                                  mesh=None).init_state(seed=0))["g"]["params"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0

@@ -45,7 +45,10 @@ def test_training_loop_ticks_snapshots_resume(data_dir, tmp_path):
     run_dir = str(tmp_path / "run")
     l_cfg = LoopConfig(run_dir=run_dir, total_kimg=1, kimg_per_tick=0.02,
                        snapshot_ticks=1, img_snapshot_ticks=2,
-                       last_snapshots=2)
+                       last_snapshots=2,
+                       eval_metrics=("fid2k_full",), eval_images_num=32,
+                       eval_batch=8, detector="raw",
+                       vis=("grid", "interp", "mixing", "attention", "noise"))
     state = training_loop(g_cfg, d_cfg, t_cfg, l_cfg, data_dir,
                           resume=None, use_mesh=False, max_ticks=2)
     nimg1 = int(np.asarray(state["cur_nimg"]))
@@ -58,6 +61,15 @@ def test_training_loop_ticks_snapshots_resume(data_dir, tmp_path):
         assert os.path.exists(os.path.join(snaps[-1], fname)), fname
     assert os.path.exists(os.path.join(run_dir, "stats.jsonl"))
     assert os.path.exists(os.path.join(run_dir, "training_options.json"))
+    # In-training eval wrote its jsonl (reference training_loop.py:227-236).
+    assert os.path.exists(os.path.join(run_dir, "metric-fid2k_full.jsonl"))
+    # Vis suite products at the image-snapshot tick (reference visualize.py).
+    assert glob.glob(os.path.join(run_dir, "fakes*.png"))
+    vis_dirs = sorted(glob.glob(os.path.join(run_dir, "vis*")))
+    assert vis_dirs, "no vis dir written"
+    for fname in ("interpolation.png", "style_mixing.png", "noise_map.png",
+                  "attention_0.png"):
+        assert os.path.exists(os.path.join(vis_dirs[-1], fname)), fname
 
     # Resume continues from the stored cur_nimg.
     state2 = training_loop(g_cfg, d_cfg, t_cfg, l_cfg, data_dir,

@@ -81,25 +81,7 @@ def convert_state_dict(sd):
     return flat
 
 
-def load_inception_npz(path):
-    """Rebuild the metrics.inception params tree from a converted .npz."""
-    import jax.numpy as jnp
-
-    data = np.load(path)
-    params = {}
-    for key in data.files:
-        if key in ("fc_w", "fc_b"):
-            params[key] = jnp.asarray(data[key])
-            continue
-        name, leaf = key.rsplit("_", 1)
-        if "." in name:
-            block, branch = name.split(".", 1)
-            params.setdefault(block, {}).setdefault(branch, {})[
-                {"w": "w", "scale": "scale", "shift": "shift"}[leaf]] = \
-                jnp.asarray(data[key])
-        else:
-            params.setdefault(name, {})[leaf] = jnp.asarray(data[key])
-    return params
+from morphganformer_tpu.metrics.inception import load_inception_npz  # noqa: F401,E402 (re-export; loader lives in the package now)
 
 
 if __name__ == "__main__":
