@@ -78,25 +78,19 @@ class SynthesisLayer(nn.Module):
         w_gain = runtime_coef(self.in_channels * k * k)
         f = setup_filter(list(cfg.resample_kernel))
 
-        # Fused pallas path: fold style+demod into the kernel and run
-        # conv+noise+bias+lrelu as one VMEM-resident pass (batch-1,
-        # transformer-free high-res layers — see ops/pallas_conv.py).
+        # Fused pallas path: style scale, conv, demod, noise, bias and lrelu
+        # in one VMEM-resident pass (transformer-free high-res layers — see
+        # ops/pallas_conv.py::fused_modconv3x3_lrelu).
         from morphganformer_tpu.ops.pallas_conv import (
-            fused_conv3x3_epilogue, fused_synth_conv_eligible)
+            fused_modconv3x3_lrelu, fused_synth_conv_eligible)
         use_fused = (
             cfg.style and self.up == 1 and k == 3 and not self.use_transformer
-            and x.shape[0] == 1 and noise_mode in ("const", "none")
-            and cfg.act == "lrelu"
+            and noise_mode in ("const", "none") and cfg.act == "lrelu"
             and fused_synth_conv_eligible(x.shape, self.out_channels, 1))
         if use_fused:
             from morphganformer_tpu.ops.bias_act import activation_funcs
 
-            w_full = (w * w_gain).astype(jnp.float32)
-            s = styles[0].astype(jnp.float32)
-            wsq = jnp.sum(jnp.square(w_full), axis=(0, 1))          # [I, O]
-            d = jax.lax.rsqrt(jnp.square(s) @ wsq + 1e-8)           # [O]
-            k_eff = w_full * s[None, None, :, None] * d[None, None, None, :]
-
+            noise = None
             if self.local_noise and noise_mode == "const":
                 strength = self.param("noise_strength",
                                       nn.initializers.zeros, ())
@@ -105,9 +99,7 @@ class SynthesisLayer(nn.Module):
                     lambda: jax.random.normal(
                         jax.random.PRNGKey(self.out_res * 4 + self.up),
                         (self.out_res, self.out_res)))
-                noise = const.value[None, :, :, None] * strength
-            else:
-                noise = jnp.zeros((1, self.out_res, self.out_res, 1))
+                noise = const.value * strength                   # [H, W]
 
             if self.use_bias:
                 # Same BiasAct module/param path as the unfused branch.
@@ -117,13 +109,12 @@ class SynthesisLayer(nn.Module):
                 act_gain = float(activation_funcs[cfg.act].def_gain
                                  * self.gain)
             else:
-                b = jnp.zeros(self.out_channels)
+                b = None
                 alpha = 1.0
                 act_gain = 1.0
-            pack = max(1, 128 // max(self.in_channels, self.out_channels))
-            x = fused_conv3x3_epilogue(
-                x, k_eff.astype(x.dtype), noise.astype(x.dtype),
-                b.astype(x.dtype), act_gain, alpha, pack)
+            x = fused_modconv3x3_lrelu(
+                x, (w * w_gain).astype(jnp.float32), styles, noise, b,
+                act_gain, alpha, True)
             return x, None, att_vars
 
         x = modulated_conv2d(

@@ -10,15 +10,20 @@ as MXU matmuls from VMEM, and writes the tile once.
 STATUS: correct (golden-tested fwd + custom-vjp grads incl. the packed
 variant; runs compiled on TPU). With lane packing (conv3x3_same_packed:
 4 W-pixels x 32 ch per 128-lane group via a block-structured kernel) and
-double-buffered row DMA it measures 2.15x over XLA's conv in isolation
-(1.14 ms vs 2.45 ms at C=32/1024^2 bf16; 1.44x at C=64/512^2). However,
-wired into the full synthesis network it is a net LOSS (~0.7x end to end):
-the pallas call is a fusion barrier, so XLA can no longer fold the
-surrounding style-scale/demod/noise/bias/lrelu elementwise chain into the
-conv, adding full-image HBM passes. It is therefore opt-in
-(MGT_PALLAS_CONV=1). Round-2 plan: grow the kernel to cover the whole
-modulated-conv epilogue (style scale in, demod+noise+bias+lrelu out), at
-which point the fusion barrier disappears and the isolated 2x carries over.
+double-buffered row DMA it measures 2.15x over XLA's conv in isolation.
+Round 2 grew this into `fused_modconv3x3_lrelu`: the whole synthesis-layer
+tail (style scale, conv, demod, noise, bias, leaky-relu) in one
+VMEM-resident pass with an in-kernel halo (no jnp.pad) and a symbolic-zeros
+custom VJP that skips weight gradients when only the latent is being
+optimized. In-model profile: the pallas kernel runs 0.42 ms vs 0.92 ms for
+XLA's conv fusion at 1024^2/32ch bf16, and the fused f+b beats XLA's.
+Remaining blocker (why the gates are still opt-in): XLA assigns
+narrow-lane conv layouts to the NEIGHBORING upfirdn/polyphase convs and
+pays multi-hundred-us relayout copies at each pallas boundary — profiled,
+the skip-path upfirdn degrades 0.6 -> 3.0 ms when conv_last alone is
+fused. Fix in progress: a fully lane-packed >=512^2 pipeline (packed
+up-conv + packed skip + packed modconv chain, unpacking only at torgb)
+so no narrow-lane tensor exists at high resolution at all.
 """
 
 from __future__ import annotations
@@ -71,48 +76,107 @@ def _conv3x3_kernel(x_hbm, w_ref, o_ref, x_vmem, sems, *, tile_h, width):
     o_ref[0] = acc.reshape(tile_h, width, o).astype(o_ref.dtype)
 
 
-def _conv3x3_epilogue_kernel(x_hbm, w_ref, noise_ref, bias_ref, o_ref,
-                             x_vmem, sems, *, tile_h, width, gain, alpha):
-    """Fused synthesis-layer tail: conv + noise + bias + leaky_relu*gain.
+def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
+                             tile_h, wg, gain, alpha, use_noise, use_bias):
+    """Fused modulated-conv synthesis tail, packed space:
 
-    Same double-buffered row pipeline as _conv3x3_kernel; noise_ref is a
-    regular pipelined block [1, tile_h, W, O] (pre-scaled, channel-
-    broadcast), bias_ref a [1, O] vector."""
+        y = lrelu(d * conv3x3(x * s, w) + noise + bias) * gain
+
+    Double-buffered row-DMA pipeline over the UNPADDED packed input
+    [N, H, Wg, PC] — the SAME-conv halo is assembled in VMEM (zero border
+    columns once per slot, zero top/bottom rows at the image edges, three
+    row-range DMAs) instead of a jnp.pad, which on the model's hot path
+    costs a full-image HBM copy + relayout per layer per step. Style scale
+    (s, per input channel) and demodulation (d, per output channel) are
+    applied in VMEM, so XLA's lost-fusion penalty around a bare conv call
+    disappears. noise (when present) is a pipelined packed block
+    [tile_h, wg, PO]; s/d/bias are per-batch vectors."""
+    if use_noise:
+        noise_ref, rest = rest[0], rest[1:]
+    if use_bias:
+        bias_ref, rest = rest[0], rest[1:]
+    o_ref, x_vmem, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
-    c = x_vmem.shape[-1]
-    o = o_ref.shape[-1]
+    pc = x_vmem.shape[-1]
+    po = o_ref.shape[-1]
+    h = x_hbm.shape[1]
     slot = jax.lax.rem(i, 2)
     nxt = jax.lax.rem(i + 1, 2)
 
-    def dma(s, tile_idx):
-        return pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(tile_idx * tile_h, tile_h + 2)],
-            x_vmem.at[s], sems.at[s])
+    # Scratch row r holds image row i*tile_h + r - 1; real columns live at
+    # [8, wg+8) — the DMA destination offset must be sublane-aligned (8), so
+    # the W halo columns are 7 and wg+8 and the conv windows start at 7+dx.
+    # 3 sems per slot: body / top halo row / bottom halo row.
+    def dmas(s, tile_idx):
+        row0 = tile_idx * tile_h
+        ops = [pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(row0, tile_h)],
+            x_vmem.at[s, pl.ds(1, tile_h), pl.ds(8, wg)], sems.at[s, 0])]
+        if n_i > 1:
+            # Guarded halo rows (the guards must match between start/wait).
+            top = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.maximum(row0 - 1, 0), 1)],
+                x_vmem.at[s, pl.ds(0, 1), pl.ds(8, wg)], sems.at[s, 1])
+            bot = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.minimum(row0 + tile_h, h - 1), 1)],
+                x_vmem.at[s, pl.ds(tile_h + 1, 1), pl.ds(8, wg)],
+                sems.at[s, 2])
+            ops += [top, bot]
+        return ops
 
     @pl.when(i == 0)
     def _():
-        dma(slot, i).start()
+        # Zero the never-DMA'd border columns of both slots once, and the
+        # top/bottom halo rows of the edge tiles (single-tile grids keep
+        # halo rows zero and skip halo DMAs entirely).
+        x_vmem[:, :, :8] = jnp.zeros_like(x_vmem[:, :, :8])
+        x_vmem[:, :, wg + 8:] = jnp.zeros_like(x_vmem[:, :, wg + 8:])
+        if n_i == 1:
+            x_vmem[:, 0] = jnp.zeros_like(x_vmem[:, 0])
+            x_vmem[:, tile_h + 1] = jnp.zeros_like(x_vmem[:, tile_h + 1])
+        for op in dmas(slot, i):
+            op.start()
 
     @pl.when(i + 1 < n_i)
     def _():
-        dma(nxt, i + 1).start()
+        for op in dmas(nxt, i + 1):
+            op.start()
 
-    dma(slot, i).wait()
+    for op in dmas(slot, i):
+        op.wait()
 
-    x = x_vmem[slot]
-    acc = jnp.zeros((tile_h * width, o), jnp.float32)
+    if n_i > 1:
+        # Edge tiles: overwrite the (cheap, already-landed) clamped halo
+        # row with zeros. VPU store, [wgp, pc] — negligible.
+        @pl.when(i == 0)
+        def _():
+            x_vmem[slot, 0] = jnp.zeros_like(x_vmem[slot, 0])
+
+        @pl.when(i == n_i - 1)
+        def _():
+            x_vmem[slot, tile_h + 1] = jnp.zeros_like(
+                x_vmem[slot, tile_h + 1])
+
+    xs = x_vmem[slot] * s_ref[0][None, None, :]
+    acc = jnp.zeros((tile_h * wg, po), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            win = x[dy:dy + tile_h, dx:dx + width, :].reshape(
-                tile_h * width, c)
+            win = xs[dy:dy + tile_h, 7 + dx:7 + dx + wg, :].reshape(
+                tile_h * wg, pc)
             acc = acc + jnp.dot(win, w_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
-    y = acc.reshape(tile_h, width, o)
-    y = y + noise_ref[0].astype(jnp.float32)
-    y = y + bias_ref[0][None, None, :].astype(jnp.float32)
-    y = jnp.where(y >= 0, y, y * alpha) * gain
+    acc = acc * d_ref[0][None, :]
+    y = acc.reshape(tile_h, wg, po)
+    if use_noise:
+        y = y + noise_ref[...].astype(jnp.float32)
+    if use_bias:
+        y = y + bias_ref[0][None, None, :]
+    if alpha != 1.0:
+        y = jnp.where(y >= 0, y, y * alpha)
+    if gain != 1.0:
+        y = y * gain
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -238,110 +302,252 @@ def conv3x3_same_packed(x, w, pack=None):
     return y.reshape(n, h, width, o)
 
 
-def _conv3x3_epilogue_pallas(x, k, noise, bias, gain, alpha):
-    """Packed-space fused conv+noise+bias+lrelu. x/noise packed NHWC;
-    k packed [3,3,PC,PO]; bias [PO]."""
-    n, h, width, c = x.shape
-    o = k.shape[-1]
-    wpad = -(-(width + 2) // 8) * 8
-    cpad = -(-c // 128) * 128
-    tile_h = _pick_tile_h(h, cpad, o, width)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wpad - width - 1), (0, cpad - c)))
-    k = jnp.pad(k, ((0, 0), (0, 0), (0, cpad - c), (0, 0)))
+def _pick_tile_h_mod(h, pc, po, wg, use_noise):
+    """VMEM-budgeted row-tile height for the fused modconv kernel."""
+    budget = 10 * 1024 * 1024
+    wgp = 8 + (-(-(wg + 1) // 8) * 8)
+    for tile in (128, 64, 32, 16, 8, 4, 2, 1):
+        if h % tile:
+            continue
+        in_bytes = 2 * (tile + 2) * wgp * pc * 2          # double-buffered x
+        xs_bytes = (tile + 2) * wgp * pc * 2              # style-scaled temp
+        out_bytes = 2 * tile * wg * max(po, 128) * 2      # pipelined out
+        noise_bytes = 2 * tile * wg * max(po, 128) * 2 if use_noise else 0
+        acc_bytes = tile * wg * max(po, 128) * 4
+        if in_bytes + xs_bytes + out_bytes + noise_bytes + acc_bytes <= budget:
+            return tile
+    return 1
+
+
+def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha):
+    """Run the packed fused modconv kernel. xp: packed [N,H,Wg,PC]
+    (unpadded); kp: packed [3,3,PC,PO]; s_p [N,PC] (x dtype); d_p [N,PO]
+    f32; noise_p [H,Wg,PO] or None; bias_p [PO] f32 or None."""
+    n, h, wg, pc = xp.shape
+    po = kp.shape[-1]
+    use_noise = noise_p is not None
+    use_bias = bias_p is not None
+    wgp = 8 + (-(-(wg + 1) // 8) * 8)   # data at [8, wg+8) + right border
+    tile_h = _pick_tile_h_mod(h, pc, po, wg, use_noise)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),              # x stays in HBM
+        pl.BlockSpec((3, 3, pc, po), lambda b, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pc), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, po), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xp, kp, s_p, d_p]
+    if use_noise:
+        in_specs.append(pl.BlockSpec((tile_h, wg, po),
+                                     lambda b, i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(noise_p)
+    if use_bias:
+        in_specs.append(pl.BlockSpec((1, po), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_p[None].astype(jnp.float32))
 
     return pl.pallas_call(
-        functools.partial(_conv3x3_epilogue_kernel, tile_h=tile_h,
-                          width=width, gain=float(gain), alpha=float(alpha)),
-        out_shape=jax.ShapeDtypeStruct((n, h, width, o), x.dtype),
+        functools.partial(_modconv_epilogue_kernel, tile_h=tile_h, wg=wg,
+                          gain=float(gain), alpha=float(alpha),
+                          use_noise=use_noise, use_bias=use_bias),
+        out_shape=jax.ShapeDtypeStruct((n, h, wg, po), xp.dtype),
         grid=(n, h // tile_h),
-        interpret=jax.default_backend() == "cpu",
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3, 3, cpad, o), lambda b, i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, width, o), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, o), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_h, width, o),
+        interpret=jax.default_backend() == "cpu",  # tests run interpreted
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile_h, wg, po),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, wpad, cpad), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, tile_h + 2, wgp, pc), xp.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),   # per slot: body/top/bottom
         ],
-    )(xp, k.astype(x.dtype), noise, bias[None])
+    )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_conv3x3_epilogue(x, k, noise, bias, gain, alpha, pack):
-    """y = leaky_relu(conv3x3(x, k) + noise + bias, alpha) * gain, with x
-    lane-packed by `pack` W-pixels. All in one VMEM-resident pallas pass.
-
-    x: [N,H,W,C]; k: pixel-space [3,3,C,O]; noise: [N,H,W,1] (pre-scaled);
-    bias: [O]. Returns [N,H,W,O]."""
-    return _fused_fwd_impl(x, k, noise, bias, gain, alpha, pack)
+def _modconv_pack(c, o, width):
+    pack = max(1, 128 // max(c, o))
+    while pack > 1 and width % pack:
+        pack //= 2
+    return pack
 
 
-def _fused_fwd_impl(x, k, noise, bias, gain, alpha, pack):
+def _demod_coef(w, styles, demodulate):
+    """d[n,o] = rsqrt(sum_i s^2 * wsq + 1e-8) (reference networks.py:291)."""
+    n, o = styles.shape[0], w.shape[-1]
+    if not demodulate:
+        return jnp.ones((n, o), jnp.float32), None
+    wsq = jnp.sum(jnp.square(w.astype(jnp.float32)), axis=(0, 1))     # [C,O]
+    d = jax.lax.rsqrt(jnp.square(styles.astype(jnp.float32)) @ wsq + 1e-8)
+    return d, wsq
+
+
+def _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha, demodulate):
     n, h, width, c = x.shape
-    o = k.shape[-1]
-    xp = x.reshape(n, h, width // pack, pack * c)
-    kp = _pack_kernel(k, pack)
-    noise_p = jnp.broadcast_to(noise, (n, h, width, o)).reshape(
-        n, h, width // pack, pack * o).astype(x.dtype)
-    bias_p = jnp.tile(bias.astype(x.dtype), pack)
-    y = _conv3x3_epilogue_pallas(xp, kp, noise_p, bias_p, gain, alpha)
-    return y.reshape(n, h, width, o)
+    o = w.shape[-1]
+    pack = _modconv_pack(c, o, width)
+    wg = width // pack
+    d, _ = _demod_coef(w, styles, demodulate)
+
+    xp = x.reshape(n, h, wg, pack * c)
+    kp = _pack_kernel(w.astype(x.dtype), pack)
+    s_p = jnp.tile(styles.astype(x.dtype), (1, pack))
+    d_p = jnp.tile(d, (1, pack))
+    noise_p = None
+    if noise is not None:
+        noise_p = jnp.broadcast_to(
+            noise.reshape(h, wg, pack, 1), (h, wg, pack, o)
+        ).reshape(h, wg, pack * o).astype(x.dtype)
+    bias_p = jnp.tile(bias.astype(jnp.float32), pack) if bias is not None else None
+    y = _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha)
+    return y.reshape(n, h, width, o), d
 
 
-def _fused_fwd(x, k, noise, bias, gain, alpha, pack):
-    y = _fused_fwd_impl(x, k, noise, bias, gain, alpha, pack)
-    return y, (x, k, y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_modconv3x3_lrelu(x, w, styles, noise, bias, gain, alpha,
+                           demodulate=True):
+    """Fused modulated 3x3 SAME conv + demod + noise + bias + leaky_relu:
+
+        y = lrelu(d * conv3x3(x * styles, w) + noise + bias, alpha) * gain
+
+    in one VMEM-resident lane-packed pallas pass (style scale, demod, noise
+    broadcast and activation all applied in-kernel — no XLA fusion barrier).
+
+    x: [N,H,W,C] NHWC; w: [3,3,C,O] (wscale already applied); styles: [N,C];
+    noise: [H,W] pre-scaled by its strength, or None; bias: [O] or None.
+    gain/alpha: activation out-gain and leaky slope (alpha=1 -> linear).
+
+    The custom VJP only computes cotangents for inputs that are actually
+    differentiated (symbolic_zeros): in latent projection the weight/bias/
+    noise are closure constants, so the expensive dw tap-einsums never run —
+    the backward is one packed pallas conv (dx) plus fused elementwise
+    reductions (dstyles via x*dxs, demod chain via the recovered conv
+    output). Replaces the reference's bias_act.cu/upfirdn2d.cu fused tails
+    (SURVEY.md §2.1) for the high-resolution synthesis layers."""
+    y, _ = _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha,
+                             demodulate)
+    return y
 
 
-def _fused_bwd(gain, alpha, pack, res, g):
-    x, k, y = res
-    # leaky_relu preserves sign, so the pre-activation mask == sign(y).
-    g_pre = (g.astype(jnp.float32) * gain *
-             jnp.where(y >= 0, 1.0, alpha)).astype(g.dtype)
-    # dx: packed conv with spatially-flipped, IO-transposed kernel.
-    k_t = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)
-    dx = conv3x3_same_packed(g_pre, k_t.astype(g_pre.dtype))
-    # dk via shifted einsums (same as conv3x3_same's bwd).
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    h, width = x.shape[1], x.shape[2]
-    taps = []
-    for dy in range(3):
-        row = []
-        for dxx in range(3):
-            win = xp[:, dy:dy + h, dxx:dxx + width, :]
-            row.append(jnp.einsum("nhwc,nhwo->co",
-                                  win.astype(jnp.float32),
-                                  g_pre.astype(jnp.float32)))
-        taps.append(jnp.stack(row))
-    dk = jnp.stack(taps).astype(k.dtype)
-    dnoise = jnp.sum(g_pre.astype(jnp.float32), axis=-1,
-                     keepdims=True).astype(g.dtype)
-    dbias = jnp.sum(g_pre.astype(jnp.float32), axis=(0, 1, 2)).astype(g.dtype)
-    return dx.astype(x.dtype), dk, dnoise, dbias
+def _tok(flag):
+    """Encode a trace-time bool in pytree STRUCTURE (() vs None) so the
+    backward can branch on it statically (residual leaves become arrays)."""
+    return () if flag else None
 
 
-fused_conv3x3_epilogue.defvjp(_fused_fwd, _fused_bwd)
+def _modconv_fwd(x, w, styles, noise, bias, gain, alpha, demodulate):
+    # symbolic_zeros=True: args are CustomVJPPrimal(value, perturbed).
+    noise_v = None if noise is None else noise.value
+    bias_v = None if bias is None else bias.value
+    y, d = _modconv_fwd_impl(x.value, w.value, styles.value, noise_v, bias_v,
+                             gain, alpha, demodulate)
+    flags = (_tok(w.perturbed),
+             _tok(noise is not None and noise.perturbed),
+             _tok(bias is not None and bias.perturbed),
+             _tok(styles.perturbed),
+             _tok(x.perturbed))
+    res = (x.value, w.value, styles.value, noise_v, bias_v, y, d, flags)
+    return y, res
+
+
+def _modconv_bwd(gain, alpha, demodulate, res, g):
+    x, w, styles, noise, bias, y, d, flags = res
+    w_p, noise_p, bias_p, styles_p, x_p = [f is not None for f in flags]
+    n, h, width, c = x.shape
+    o = w.shape[-1]
+    f32 = jnp.float32
+
+    # d(lrelu*gain): the pre-activation sign == sign(y).
+    mask = jnp.where(y >= 0, f32(gain), f32(gain * alpha))
+    g_pre = g.astype(f32) * mask                               # [N,H,W,O]
+    gd = (g_pre * d[:, None, None, :]).astype(g.dtype)
+
+    # dx/dstyles both come from the conv transpose w.r.t. u = x*styles:
+    #   du = conv3x3(g*d, flip(w)^T);  dx = du*s;  ds[c] = sum_hw x*du.
+    dx = ds = None
+    if x_p or styles_p:
+        w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+        du = conv3x3_same_packed(gd, w_t.astype(gd.dtype))     # [N,H,W,C]
+    if x_p:
+        dx = (du * styles[:, None, None, :].astype(du.dtype)).astype(x.dtype)
+    if styles_p:
+        ds = jnp.einsum("nhwc,nhwc->nc", x.astype(f32), du.astype(f32))
+
+    # Demodulation chain: d = rsqrt(e), e = s^2 @ wsq. Needs
+    # dd[n,o] = sum_hw g_pre * conv_out, with conv_out recovered from y.
+    dwsq = None
+    if demodulate and (styles_p or w_p):
+        pre = jnp.where(y >= 0, y.astype(f32), y.astype(f32) / alpha) / gain
+        if noise is not None:
+            pre = pre - noise.astype(f32)[None, :, :, None]
+        if bias is not None:
+            pre = pre - bias.astype(f32)
+        conv_out = pre / d[:, None, None, :]
+        dd = jnp.einsum("nhwo,nhwo->no", g_pre, conv_out)      # [N,O]
+        wsq = jnp.sum(jnp.square(w.astype(f32)), axis=(0, 1))  # [C,O]
+        e = jnp.square(styles.astype(f32)) @ wsq
+        de = dd * (-0.5) * jax.lax.rsqrt(e + 1e-8) / (e + 1e-8)  # d^3 = rsqrt/e
+        if styles_p:
+            ds = ds + 2.0 * styles.astype(f32) * (de @ wsq.T)
+        if w_p:
+            dwsq = jnp.square(styles.astype(f32)).T @ de       # [C,O]
+
+    dw = None
+    if w_p:
+        # Training path only: dw[dy,dx,c,o] = sum u_pad[.,y+dy,x+dx,c]*gd'.
+        u = (x * styles[:, None, None, :].astype(x.dtype))
+        up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = []
+        for dy in range(3):
+            row = []
+            for dxx in range(3):
+                win = up[:, dy:dy + h, dxx:dxx + width, :]
+                row.append(jnp.einsum("nhwc,nhwo->co", win.astype(f32),
+                                      gd.astype(f32)))
+            taps.append(jnp.stack(row))
+        dw = jnp.stack(taps)
+        if dwsq is not None:
+            dw = dw + 2.0 * w.astype(f32) * dwsq[None, None]
+        dw = dw.astype(w.dtype)
+
+    dnoise = None
+    if noise is not None:
+        dnoise = (jnp.sum(g_pre, axis=(0, 3)).astype(noise.dtype)
+                  if noise_p else jnp.zeros_like(noise))
+    dbias = None
+    if bias is not None:
+        dbias = (jnp.sum(g_pre, axis=(0, 1, 2)).astype(bias.dtype)
+                 if bias_p else jnp.zeros_like(bias))
+
+    return (dx if dx is not None else jnp.zeros_like(x),
+            dw if dw is not None else jnp.zeros_like(w),
+            ds.astype(styles.dtype) if ds is not None else jnp.zeros_like(styles),
+            dnoise, dbias)
+
+
+fused_modconv3x3_lrelu.defvjp(_modconv_fwd, _modconv_bwd, symbolic_zeros=True)
 
 
 def fused_synth_conv_eligible(x_shape, co, groups) -> bool:
-    """SynthesisLayer gate for the fused conv+noise+bias+lrelu pallas path.
+    """SynthesisLayer gate for the fused modconv pallas path.
 
-    Opt-in (MGT_FUSED_SYNTH=1): correct end to end, but currently net
-    slower in the full model (fwd 21.3 vs 14.9 ms) — the channel-broadcast
-    noise tensor materializes a full-image input per fused layer and the
-    dk einsum backward is unoptimized. Round-2: in-kernel noise broadcast
-    + pallas dk kernel."""
+    Still opt-in (MGT_FUSED_SYNTH=1): the round-2 redesign applies
+    style/demod/noise/bias/lrelu in-kernel with an in-VMEM halo (no jnp.pad)
+    and skips weight grads unless the weight is actually differentiated —
+    the kernel runs 2.2x faster than XLA's conv in-model (profiled 0.42 ms
+    vs 0.92 ms at 1024^2/32ch bf16) and the f+b in-model composition beats
+    XLA. But a lone pallas call still degrades its NEIGHBORS: XLA assigns
+    narrow-lane conv layouts (T(2,128)) to the surrounding upfirdn/polyphase
+    convs and inserts multi-hundred-us relayout copies at the pallas
+    boundary (profiled: the skip upfirdn goes 0.6 -> 3.0 ms when conv_last
+    is fused). The fix is the packed high-resolution pipeline (keep
+    [H, W/pack, 128] lane-packed activations across ALL >=512 ops) — until
+    that lands end to end, the gate stays opt-in."""
+    import os
+
     import jax
 
-    import os
     if os.environ.get("MGT_FUSED_SYNTH", "0") != "1":
         return False
     if jax.default_backend() != "tpu":

@@ -120,9 +120,13 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
     def step_fn(carry, step_in):
         # step_in: (step_idx, unit-normal noise) — noise is pre-generated per
         # chunk outside the scan (cheaper than per-step threefry inside).
+        # The carry deliberately holds NO image-sized tensors: the best image
+        # is regenerated from the best (noised) latent after the loop, which
+        # is exact under noise_mode="const" — keeping the carry small avoids
+        # a full-image where() per step and, on remote-dispatch backends,
+        # a multi-MB output transfer per chunk call.
         step_idx, noise_unit = step_in
-        (latent, opt_state, best_loss, best_latent, best_img, best_step,
-         rng) = carry
+        (latent, opt_state, best_loss, best_latent, best_step, rng) = carry
         t = step_idx.astype(jnp.float32) / cfg.steps
         lr = cosine_ramp_lr(t, cfg.lr, cfg.lr_rampdown, cfg.lr_rampup)
         noise_strength = latent_std * cfg.noise * \
@@ -135,9 +139,9 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
             # projections (e.g. the morph pair) track bests independently.
             per_img, comps = jax.vmap(
                 lambda a, b: loss_fn(a[None], b[None]))(img, target)
-            return jnp.mean(per_img), (img, per_img, comps)
+            return jnp.mean(per_img), (per_img, comps)
 
-        (loss, (img, per_img, comps)), grads = jax.value_and_grad(
+        (loss, (per_img, comps)), grads = jax.value_and_grad(
             total_loss, has_aux=True)(latent_n)
         updates, opt_state = opt.update(grads, opt_state, latent)
         latent = latent + jax.tree_util.tree_map(lambda u: lr * u, updates)
@@ -146,13 +150,11 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
         best_loss = jnp.where(improved, per_img, best_loss)
         expand = (slice(None),) + (None,) * (latent.ndim - 1)
         best_latent = jnp.where(improved[expand], latent_n, best_latent)
-        best_img = jnp.where(improved[:, None, None, None], img, best_img)
         # Track the step at which each image's best occurred under the SAME
-        # predicate as the latent/image (ADVICE r1: argmin over chunk means
+        # predicate as the latent (ADVICE r1: argmin over chunk means
         # could disagree with the returned latent).
         best_step = jnp.where(improved, step_idx, best_step)
-        new_carry = (latent, opt_state, best_loss, best_latent, best_img,
-                     best_step, rng)
+        new_carry = (latent, opt_state, best_loss, best_latent, best_step, rng)
         return new_carry, (loss, comps)
 
     return opt, step_fn
@@ -164,6 +166,17 @@ def _run_chunk_jit(model, loss_fn, cfg, variables, target, latent_std,
     _, step_fn = make_projection_step(model, variables, loss_fn, cfg,
                                       latent_std, target)
     return jax.lax.scan(step_fn, carry, (steps_slice, noise_seq))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _synth_jit(model, cfg, variables, latent):
+    """G(latent) with the projection's synthesis mode (z or W+)."""
+    if cfg.w_plus:
+        img, _ = model.apply(variables, latent, noise_mode="const",
+                             method=type(model).run_synthesis)
+        return img
+    return model.apply(variables, latent, truncation_psi=cfg.truncation_psi,
+                       noise_mode="const")
 
 
 def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
@@ -202,9 +215,8 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     # Per-image best trackers (reference inits min_loss=1.0; use +inf-ish so
     # the tracker always captures something).
     big = jnp.full((target.shape[0],), 1e30, jnp.float32)
-    img_shape = (target.shape[0], target.shape[1], target.shape[2], target.shape[3])
     steps0 = jnp.zeros((target.shape[0],), jnp.int32)
-    carry = (latent, opt_state, big, latent, jnp.zeros(img_shape), steps0, rng)
+    carry = (latent, opt_state, big, latent, steps0, rng)
 
     def run_chunk(carry, steps_slice, noise_seq):
         # Module-level jitted runner: static args are hashable (frozen
@@ -215,10 +227,13 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
                               latent_std, carry, steps_slice, noise_seq)
 
     losses, comps_hist = [], []
-    n_chunks = max(1, math.ceil(cfg.steps / cfg.chunk))
+    # Without a progress callback there is no reason to come back to the
+    # host between chunks — run the whole thing as one scan call.
+    chunk = cfg.chunk if progress is not None else cfg.steps
+    n_chunks = max(1, math.ceil(cfg.steps / chunk))
     for ci in range(n_chunks):
-        lo = ci * cfg.chunk
-        hi = min(cfg.steps, lo + cfg.chunk)
+        lo = ci * chunk
+        hi = min(cfg.steps, lo + chunk)
         if hi <= lo:
             break
         idx = jnp.arange(lo, hi)
@@ -231,7 +246,10 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
             cur_best = float(jnp.mean(carry[2]))  # forces device sync
             progress(hi, float(chunk_losses[-1]), cur_best)
 
-    latent, _, best_loss, best_latent, best_img, best_steps, _ = carry
+    latent, _, best_loss, best_latent, best_steps, _ = carry
+    # Regenerate the best image from the saved (noised) best latent — exact
+    # under noise_mode="const", and cheaper than carrying images in the scan.
+    best_img = _synth_jit(model, cfg, variables, best_latent)
     comps = {k: jnp.concatenate([c[k] for c in comps_hist])
              for k in comps_hist[0]} if comps_hist else {}
     return ProjectionResult(

@@ -92,8 +92,7 @@ def main():
                                         jnp.float32(23.0), target)
     latent = jnp.tile(jnp.zeros((cfg.k, cfg.z_dim))[None], (1, 1, 1))
     carry = (latent, opt.init(latent), jnp.full((1,), 1e30, jnp.float32),
-             latent, jnp.zeros_like(target, jnp.float32),
-             jnp.zeros((1,), jnp.int32), jax.random.PRNGKey(2))
+             latent, jnp.zeros((1,), jnp.int32), jax.random.PRNGKey(2))
 
     @jax.jit
     def run25(carry, noise):
