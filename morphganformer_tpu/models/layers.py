@@ -155,6 +155,7 @@ class Conv2dLayer(nn.Module):
     down: int = 1
     resample_kernel: Sequence[int] = (1, 3, 3, 1)
     gain: float = 1.0
+    packed: bool = False    # lane-packed [B, H, G, 128] in/out (TPU pipeline)
 
     @nn.compact
     def __call__(self, x):
@@ -163,6 +164,16 @@ class Conv2dLayer(nn.Module):
                        (k, k, self.in_channels, self.out_channels))
         coef = runtime_coef(self.in_channels * k * k)
         f = setup_filter(list(self.resample_kernel))
+        if self.packed:
+            # Packed-pipeline skip branch: unmodulated 1x1 conv + FIR up2
+            # as one lane-packed pallas pass; the (linear, no-bias) BiasAct
+            # reduces to the gain factor.
+            from morphganformer_tpu.ops.pallas_conv import fused_packed_upconv2
+            assert (self.up, self.down, k) == (2, 1, 1) and not self.use_bias \
+                and self.act == "linear"
+            return fused_packed_upconv2(
+                x, (w * coef).astype(jnp.float32), None, f, None, None,
+                self.gain, 1.0, False, False)
         x = conv2d_resample(
             x, (w * coef).astype(x.dtype), f=f, up=self.up, down=self.down,
             padding=k // 2, flip_weight=(self.up == 1),

@@ -46,6 +46,35 @@ from morphganformer_tpu.ops import (
 )
 
 
+def packed_block_eligible(cfg: GANformerConfig, res: int,
+                          noise_mode: str) -> bool:
+    """Gate for the lane-packed high-resolution block pipeline.
+
+    When a block qualifies, ALL its ops (skip 1x1-up, conv0 up2, conv1,
+    conv_last) run as packed pallas kernels exchanging [B, H, G, 128]
+    tensors, so no narrow-lane (C<128) activation exists at that
+    resolution — the layout-relayout copies XLA otherwise inserts around
+    high-res NHWC C=32/64 tensors (see ops/pallas_conv.py module docstring)
+    disappear. MGT_PACKED_SYNTH=0 disables."""
+    import os
+
+    if os.environ.get("MGT_PACKED_SYNTH", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    in_ch = cfg.channels(res // 2)
+    out_ch = cfg.channels(res)
+    g = (res // 2) * in_ch // 128
+    return (cfg.architecture == "resnet" and cfg.style
+            and cfg.act == "lrelu" and res > 4
+            and not cfg.use_attention(res)
+            and noise_mode in ("const", "none")
+            and in_ch <= 128 and 128 % in_ch == 0
+            and out_ch * 2 == in_ch
+            and (res // 2) * in_ch % 128 == 0
+            and g % 8 == 0)
+
+
 class SynthesisLayer(nn.Module):
     """Modulated conv + optional duplex attention + noise + bias/act
     (reference SynthesisLayer, networks.py:945-1042)."""
@@ -59,6 +88,7 @@ class SynthesisLayer(nn.Module):
     gain: float = 1.0
     use_transformer: bool = False
     local_noise: bool = True
+    packed: bool = False    # lane-packed [B, H, G, 128] in/out (TPU pipeline)
 
     @nn.compact
     def __call__(self, x, y, att_vars=None, pos=None, mask=None,
@@ -67,8 +97,13 @@ class SynthesisLayer(nn.Module):
         assert noise_mode in ("random", "const", "none")
         k = self.kernel_size
         in_res = self.out_res // self.up
-        assert x.shape[1:] == (in_res, in_res, self.in_channels), \
-            f"expected [B,{in_res},{in_res},{self.in_channels}], got {x.shape}"
+        if self.packed:
+            g_groups = in_res * self.in_channels // 128
+            assert x.shape[1:] == (in_res, g_groups, 128), \
+                f"expected packed [B,{in_res},{g_groups},128], got {x.shape}"
+        else:
+            assert x.shape[1:] == (in_res, in_res, self.in_channels), \
+                f"expected [B,{in_res},{in_res},{self.in_channels}], got {x.shape}"
 
         styles = FullyConnected(self.in_channels, bias_init=1.0, name="affine")(
             get_global(y).astype(jnp.float32))
@@ -78,16 +113,20 @@ class SynthesisLayer(nn.Module):
         w_gain = runtime_coef(self.in_channels * k * k)
         f = setup_filter(list(cfg.resample_kernel))
 
-        # Fused pallas path: style scale, conv, demod, noise, bias and lrelu
-        # in one VMEM-resident pass (transformer-free high-res layers — see
-        # ops/pallas_conv.py::fused_modconv3x3_lrelu).
+        # Fused pallas paths: style scale, conv (optionally 2x-upsampling
+        # with the FIR composed in), demod, noise, bias and lrelu in one
+        # VMEM-resident pass (transformer-free high-res layers — see
+        # ops/pallas_conv.py). In packed mode input/output stay in the
+        # lane-packed [B, H, G, 128] representation.
         from morphganformer_tpu.ops.pallas_conv import (
-            fused_modconv3x3_lrelu, fused_synth_conv_eligible)
+            fused_modconv3x3_lrelu, fused_packed_upconv2,
+            fused_synth_conv_eligible)
         use_fused = (
             cfg.style and self.up == 1 and k == 3 and not self.use_transformer
+            and not self.packed
             and noise_mode in ("const", "none") and cfg.act == "lrelu"
             and fused_synth_conv_eligible(x.shape, self.out_channels, 1))
-        if use_fused:
+        if use_fused or self.packed:
             from morphganformer_tpu.ops.bias_act import activation_funcs
 
             noise = None
@@ -112,9 +151,16 @@ class SynthesisLayer(nn.Module):
                 b = None
                 alpha = 1.0
                 act_gain = 1.0
-            x = fused_modconv3x3_lrelu(
-                x, (w * w_gain).astype(jnp.float32), styles, noise, b,
-                act_gain, alpha, True)
+            w_full = (w * w_gain).astype(jnp.float32)
+            if self.packed and self.up == 2:
+                x = fused_packed_upconv2(x, w_full, styles, f, noise, b,
+                                         act_gain, alpha, True, False)
+            elif self.packed:
+                x = fused_modconv3x3_lrelu(x, w_full, styles, noise, b,
+                                           act_gain, alpha, True, True)
+            else:
+                x = fused_modconv3x3_lrelu(x, w_full, styles, noise, b,
+                                           act_gain, alpha, True)
             return x, None, att_vars
 
         x = modulated_conv2d(
@@ -173,11 +219,18 @@ class SynthesisLayer(nn.Module):
 
 class ToRGBLayer(nn.Module):
     """1x1 modulated conv (no demod) to RGB (reference ToRGBLayer,
-    networks.py:1046-1065, incl. the styles*w_gain TF-compat quirk)."""
+    networks.py:1046-1065, incl. the styles*w_gain TF-compat quirk).
+
+    In packed mode the 1x1 conv is a single [*, 128] x [128, P*3]
+    block-diagonal matmul on the lane-packed input, returning packed RGB
+    [B, H, G, P*3] — keeping the whole high-res tail free of narrow-lane
+    tensors (a pixel-space 3-channel conv at 1024^2 costs ~2 ms in XLA's
+    narrow conv layout plus relayout copies)."""
     cfg: GANformerConfig
     in_channels: int
     out_channels: int
     kernel_size: int = 1
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, y):
@@ -192,6 +245,17 @@ class ToRGBLayer(nn.Module):
             styles = styles * w_gain
         else:
             w = w * w_gain
+        if self.packed:
+            assert k == 1 and cfg.style
+            pack = 128 // self.in_channels
+            s_p = jnp.tile(styles.astype(x.dtype), (1, pack))
+            blocks = [w[0, 0].astype(x.dtype)] * pack
+            e = jax.scipy.linalg.block_diag(*blocks)        # [128, P*out]
+            out = jnp.einsum("nhgl,lm->nhgm", x * s_p[:, None, None, :], e)
+            b = BiasAct(self.out_channels, name="biasAct")(
+                None, return_bias=True)
+            out = out + jnp.tile(b, pack).astype(out.dtype)
+            return out.astype(jnp.float32)
         x = modulated_conv2d(x, w.astype(x.dtype), styles=styles,
                              modulate=cfg.style, demodulate=False)
         x = BiasAct(self.out_channels, name="biasAct")(x)
@@ -206,7 +270,8 @@ class SynthesisBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, img, ws, att_vars, pos=None, mask=None,
-                 noise_mode="random", train: bool = False):
+                 noise_mode="random", train: bool = False,
+                 packed: bool = False, packed_in: bool = False):
         cfg = self.cfg
         res = self.res
         arch = cfg.architecture
@@ -234,6 +299,14 @@ class SynthesisBlock(nn.Module):
                 const = self.param("const", nn.initializers.normal(stddev=1.0),
                                    (res, res, out_channels))
                 x = jnp.tile(const[None], (batch, 1, 1, 1))
+        elif packed or packed_in:
+            g_in = (res // 2) * in_channels // 128
+            if packed and not packed_in:
+                # Enter the packed domain (a pure reshape; for the flagship
+                # the entry block's input is [*, 256, 256, 128], making this
+                # the identity).
+                x = x.reshape(batch, res // 2, g_in, 128)
+            assert x.shape[1:] == (res // 2, g_in, 128)
         else:
             assert x.shape[1:] == (res // 2, res // 2, in_channels)
         x = x.astype(dtype)
@@ -242,7 +315,7 @@ class SynthesisBlock(nn.Module):
             layer = SynthesisLayer(
                 cfg=cfg, in_channels=in_ch, out_channels=out_channels,
                 out_res=res, up=up, gain=gain, use_transformer=use_tr,
-                local_noise=cfg.local_noise, name=name)
+                local_noise=cfg.local_noise, packed=packed, name=name)
             return layer(x, ws[:, :, idx], att_vars=att_vars, pos=pos, mask=mask,
                          noise_mode=noise_mode, train=train)
 
@@ -252,7 +325,8 @@ class SynthesisBlock(nn.Module):
         elif arch == "resnet":
             y_skip = Conv2dLayer(in_channels, out_channels, 1, use_bias=False,
                                  up=2, resample_kernel=cfg.resample_kernel,
-                                 gain=get_gain(arch), name="skip")(x)
+                                 gain=get_gain(arch), packed=packed,
+                                 name="skip")(x)
             x, am, att_vars = conv("conv0", next(w_i), in_channels, 2, 1.0)
             att_maps.append(am)
             x, am, att_vars = conv("conv1", next(w_i), out_channels, 1, get_gain(arch))
@@ -272,12 +346,17 @@ class SynthesisBlock(nn.Module):
             layer = SynthesisLayer(
                 cfg=cfg, in_channels=out_channels, out_channels=out_channels,
                 out_res=res, use_bias=False, use_transformer=False,
-                local_noise=False, name="conv_last")
+                local_noise=False, packed=packed, name="conv_last")
             x, _, _ = layer(x, ws[:, :, next(w_i)], noise_mode=noise_mode,
                             train=train)
         if is_last or arch == "skip":
-            y = ToRGBLayer(cfg, out_channels, cfg.img_channels, name="torgb")(
+            y = ToRGBLayer(cfg, out_channels, cfg.img_channels,
+                           packed=packed, name="torgb")(
                 x, ws[:, :, next(w_i)])
+            if packed:
+                # Packed RGB [B, H, G, P*3] -> pixel [B, H, W, 3]; the only
+                # departure from the packed domain in the whole block.
+                y = y.reshape(batch, res, res, cfg.img_channels)
             img = img + y if img is not None else y
 
         return x, img, att_maps, att_vars
@@ -320,15 +399,24 @@ class SynthesisNetwork(nn.Module):
 
         x, img, att_maps = None, None, []
         att_vars = {"centroid_assignments": None}
+        prev_packed = False
         for res, (start, count) in zip(cfg.block_resolutions, cfg.block_w_slices()):
             block = SynthesisBlock(cfg, res, name=f"b{res}")
+            packed = packed_block_eligible(cfg, res, noise_mode)
+            if prev_packed and not packed:
+                # Previous block produced packed output but this one can't
+                # consume it — unpack (pure reshape).
+                c_prev = cfg.channels(res // 2)
+                x = x.reshape(x.shape[0], res // 2, res // 2, c_prev)
             with jax.named_scope("split_ws"):
                 cur_ws = jax.lax.slice_in_dim(ws, start, start + count, axis=2)
             with jax.named_scope(f"b{res}"):
                 x, img, maps, att_vars = block(x, img, cur_ws, att_vars,
                                                pos=pos, mask=mask,
                                                noise_mode=noise_mode,
-                                               train=train)
+                                               train=train, packed=packed,
+                                               packed_in=prev_packed and packed)
+            prev_packed = packed and res != cfg.img_resolution
             att_maps += maps
 
         if return_att:

@@ -7,33 +7,53 @@ conv whose HBM roofline is ~0.2 ms. This kernel keeps the input in HBM,
 DMAs each row tile (plus 1-row halo) into VMEM once, accumulates the 9 taps
 as MXU matmuls from VMEM, and writes the tile once.
 
-STATUS: correct (golden-tested fwd + custom-vjp grads incl. the packed
-variant; runs compiled on TPU). With lane packing (conv3x3_same_packed:
-4 W-pixels x 32 ch per 128-lane group via a block-structured kernel) and
-double-buffered row DMA it measures 2.15x over XLA's conv in isolation.
-Round 2 grew this into `fused_modconv3x3_lrelu`: the whole synthesis-layer
-tail (style scale, conv, demod, noise, bias, leaky-relu) in one
-VMEM-resident pass with an in-kernel halo (no jnp.pad) and a symbolic-zeros
-custom VJP that skips weight gradients when only the latent is being
-optimized. In-model profile: the pallas kernel runs 0.42 ms vs 0.92 ms for
-XLA's conv fusion at 1024^2/32ch bf16, and the fused f+b beats XLA's.
-Remaining blocker (why the gates are still opt-in): XLA assigns
-narrow-lane conv layouts to the NEIGHBORING upfirdn/polyphase convs and
-pays multi-hundred-us relayout copies at each pallas boundary — profiled,
-the skip-path upfirdn degrades 0.6 -> 3.0 ms when conv_last alone is
-fused. Fix in progress: a fully lane-packed >=512^2 pipeline (packed
-up-conv + packed skip + packed modconv chain, unpacking only at torgb)
-so no narrow-lane tensor exists at high resolution at all.
+STATUS (round 2): the production path is the LANE-PACKED high-resolution
+pipeline — every >=512^2 synthesis op (skip 1x1-up, conv0 2x-up, conv1,
+conv_last, torgb) runs on [N, H, G, 128] lane-packed tensors
+(G = W*C/128 pixel groups, resolution-invariant for this architecture):
+
+  * fused_modconv3x3_lrelu — same-res modulated conv + demod + noise +
+    bias + lrelu, one VMEM-resident pass, in-kernel halo (no jnp.pad);
+  * fused_packed_upconv2 — 2x-up modulated conv with the FIR composed in,
+    parity-blocked packed kernels; its backward dx is the exact adjoint
+    as a packed 6-row-window down-conv kernel;
+  * both with symbolic-zeros custom VJPs that skip weight/noise/bias
+    cotangents when only the latent is differentiated (projection), and
+    lane-preserving two-stage reductions for dstyles/ddemod.
+
+Why packed everywhere: profiling showed XLA assigns narrow-lane conv
+layouts (T(2,128)) to high-res NHWC C=32/64 tensors and pays a 64 MB
+relayout copy at every transition (~4 ms/block even without pallas), and
+an isolated pallas call makes its XLA neighbors WORSE (skip upfirdn
+0.6 -> 3.0 ms). With the whole chain packed no narrow-lane tensor exists:
+the flagship 1024^2 projection step went 35.2 -> 18.7 ms/step
+(bench vs_baseline 0.85 -> 1.60 against the <30 s/1000-step target).
+Gates: MGT_PACKED_SYNTH=0 disables the packed pipeline (default ON on
+TPU, see models/synthesis.py::packed_block_eligible); MGT_FUSED_SYNTH=1
+additionally enables the standalone per-layer fused modconv for configs
+the packed pipeline doesn't cover (off by default — a lone pallas call
+degrades its XLA neighbors' layouts).
 """
 
 from __future__ import annotations
 
 import functools
 
+from morphganformer_tpu.ops.conv2d_resample import _compose_kernel_fir
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _row_select(ref, b):
+    """ref[b] for a small [N, L] VMEM vector table with a TRACED row index:
+    Mosaic cannot lower a dynamic sublane load, so select via mask+sum
+    (single nonzero row, so the sum is exact in any dtype)."""
+    table = ref[...]
+    rows = jax.lax.broadcasted_iota(jnp.int32, table.shape, 0)
+    return jnp.sum(jnp.where(rows == b, table, jnp.zeros_like(table)), axis=0)
 
 
 def _conv3x3_kernel(x_hbm, w_ref, o_ref, x_vmem, sems, *, tile_h, width):
@@ -159,7 +179,7 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
             x_vmem[slot, tile_h + 1] = jnp.zeros_like(
                 x_vmem[slot, tile_h + 1])
 
-    xs = x_vmem[slot] * s_ref[0][None, None, :]
+    xs = x_vmem[slot] * _row_select(s_ref, b)[None, None, :]
     acc = jnp.zeros((tile_h * wg, po), jnp.float32)
     for dy in range(3):
         for dx in range(3):
@@ -167,7 +187,7 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
                 tile_h * wg, pc)
             acc = acc + jnp.dot(win, w_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
-    acc = acc * d_ref[0][None, :]
+    acc = acc * _row_select(d_ref, b)[None, :]
     y = acc.reshape(tile_h, wg, po)
     if use_noise:
         y = y + noise_ref[...].astype(jnp.float32)
@@ -334,8 +354,8 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha):
         pl.BlockSpec(memory_space=pltpu.ANY),              # x stays in HBM
         pl.BlockSpec((3, 3, pc, po), lambda b, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, pc), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, po), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # styles [N, PC]
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # demod  [N, PO]
     ]
     args = [xp, kp, s_p, d_p]
     if use_noise:
@@ -383,14 +403,27 @@ def _demod_coef(w, styles, demodulate):
     return d, wsq
 
 
-def _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha, demodulate):
-    n, h, width, c = x.shape
-    o = w.shape[-1]
-    pack = _modconv_pack(c, o, width)
-    wg = width // pack
+def _modconv_geometry(x, w, packed_io):
+    """(n, h, width, wg, pack, c, o) for pixel or packed input."""
+    c, o = w.shape[2], w.shape[3]
+    if packed_io:
+        assert c == o, "packed_io modconv requires Cin == Cout"
+        n, h, wg, lanes = x.shape
+        pack = lanes // c
+        width = wg * pack
+    else:
+        n, h, width, _ = x.shape
+        pack = _modconv_pack(c, o, width)
+        wg = width // pack
+    return n, h, width, wg, pack, c, o
+
+
+def _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha, demodulate,
+                      packed_io=False):
+    n, h, width, wg, pack, c, o = _modconv_geometry(x, w, packed_io)
     d, _ = _demod_coef(w, styles, demodulate)
 
-    xp = x.reshape(n, h, wg, pack * c)
+    xp = x if packed_io else x.reshape(n, h, wg, pack * c)
     kp = _pack_kernel(w.astype(x.dtype), pack)
     s_p = jnp.tile(styles.astype(x.dtype), (1, pack))
     d_p = jnp.tile(d, (1, pack))
@@ -401,12 +434,12 @@ def _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha, demodulate):
         ).reshape(h, wg, pack * o).astype(x.dtype)
     bias_p = jnp.tile(bias.astype(jnp.float32), pack) if bias is not None else None
     y = _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha)
-    return y.reshape(n, h, width, o), d
+    return (y if packed_io else y.reshape(n, h, width, o)), d
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_modconv3x3_lrelu(x, w, styles, noise, bias, gain, alpha,
-                           demodulate=True):
+                           demodulate=True, packed_io=False):
     """Fused modulated 3x3 SAME conv + demod + noise + bias + leaky_relu:
 
         y = lrelu(d * conv3x3(x * styles, w) + noise + bias, alpha) * gain
@@ -424,9 +457,13 @@ def fused_modconv3x3_lrelu(x, w, styles, noise, bias, gain, alpha,
     the backward is one packed pallas conv (dx) plus fused elementwise
     reductions (dstyles via x*dxs, demod chain via the recovered conv
     output). Replaces the reference's bias_act.cu/upfirdn2d.cu fused tails
-    (SURVEY.md §2.1) for the high-resolution synthesis layers."""
+    (SURVEY.md §2.1) for the high-resolution synthesis layers.
+
+    With packed_io=True (requires Cin == Cout) x and y stay in the packed
+    [N, H, G, 128] representation — used by the packed >=512^2 pipeline to
+    chain conv1 -> conv_last without relayouts."""
     y, _ = _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha,
-                             demodulate)
+                             demodulate, packed_io)
     return y
 
 
@@ -436,12 +473,13 @@ def _tok(flag):
     return () if flag else None
 
 
-def _modconv_fwd(x, w, styles, noise, bias, gain, alpha, demodulate):
+def _modconv_fwd(x, w, styles, noise, bias, gain, alpha, demodulate,
+                 packed_io):
     # symbolic_zeros=True: args are CustomVJPPrimal(value, perturbed).
     noise_v = None if noise is None else noise.value
     bias_v = None if bias is None else bias.value
     y, d = _modconv_fwd_impl(x.value, w.value, styles.value, noise_v, bias_v,
-                             gain, alpha, demodulate)
+                             gain, alpha, demodulate, packed_io)
     flags = (_tok(w.perturbed),
              _tok(noise is not None and noise.perturbed),
              _tok(bias is not None and bias.perturbed),
@@ -451,28 +489,54 @@ def _modconv_fwd(x, w, styles, noise, bias, gain, alpha, demodulate):
     return y, res
 
 
-def _modconv_bwd(gain, alpha, demodulate, res, g):
+def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
     x, w, styles, noise, bias, y, d, flags = res
     w_p, noise_p, bias_p, styles_p, x_p = [f is not None for f in flags]
-    n, h, width, c = x.shape
-    o = w.shape[-1]
+    n, h, width, wg, pack, c, o = _modconv_geometry(x, w, packed_io)
     f32 = jnp.float32
 
-    # d(lrelu*gain): the pre-activation sign == sign(y).
-    mask = jnp.where(y >= 0, f32(gain), f32(gain * alpha))
-    g_pre = g.astype(f32) * mask                               # [N,H,W,O]
-    gd = (g_pre * d[:, None, None, :]).astype(g.dtype)
+    def grouped(t, ch):
+        """View a tensor (pixel or packed) as [N, H, Wg, pack, ch]."""
+        return t.reshape(n, h, wg, pack, ch)
+
+    def lane_reduce(t, ch):
+        """sum over all pixels -> [N, ch]: reduce the big spatial axes
+        FIRST keeping the 128 lanes intact (fast on TPU), then fold the
+        pack replicas — a [N, lanes] op. A direct lane-splitting
+        sum(reshape(..., pack, ch)) profiles 15x slower at 1024^2."""
+        part = jnp.sum(t.reshape(n, h * wg, pack * ch), axis=1)
+        return jnp.sum(part.reshape(n, pack, ch), axis=1)
+
+    # d(lrelu*gain): the pre-activation sign == sign(y). Stay in g.dtype
+    # (bf16 on the hot path): an f32 g_pre is a 128 MB materialization at
+    # 1024^2 once it has two consumers; the reductions below accumulate in
+    # f32 regardless.
+    mask = jnp.where(y >= 0, jnp.asarray(gain, g.dtype),
+                     jnp.asarray(gain * alpha, g.dtype))
+    g_pre = g * mask
+    d_bcast = (jnp.tile(d, (1, pack))[:, None, None, :] if packed_io
+               else d[:, None, None, :])
+    gd = g_pre * d_bcast.astype(g.dtype)
 
     # dx/dstyles both come from the conv transpose w.r.t. u = x*styles:
     #   du = conv3x3(g*d, flip(w)^T);  dx = du*s;  ds[c] = sum_hw x*du.
+    # du runs through the same in-kernel-halo pallas pass (unit style/demod).
     dx = ds = None
     if x_p or styles_p:
         w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-        du = conv3x3_same_packed(gd, w_t.astype(gd.dtype))     # [N,H,W,C]
+        kp_t = _pack_kernel(w_t.astype(gd.dtype), pack)
+        ones_s = jnp.ones((n, pack * o), gd.dtype)
+        ones_d = jnp.ones((n, pack * c), f32)
+        gd_pk = gd if packed_io else gd.reshape(n, h, wg, pack * o)
+        du_pk = _modconv_pallas(gd_pk, kp_t, ones_s, ones_d, None, None,
+                                1.0, 1.0)
+        du = du_pk if packed_io else du_pk.reshape(n, h, width, c)
+    s_bcast = (jnp.tile(styles, (1, pack))[:, None, None, :] if packed_io
+               else styles[:, None, None, :])
     if x_p:
-        dx = (du * styles[:, None, None, :].astype(du.dtype)).astype(x.dtype)
+        dx = (du * s_bcast.astype(du.dtype)).astype(x.dtype)
     if styles_p:
-        ds = jnp.einsum("nhwc,nhwc->nc", x.astype(f32), du.astype(f32))
+        ds = lane_reduce(x.astype(f32) * du.astype(f32), c)
 
     # Demodulation chain: d = rsqrt(e), e = s^2 @ wsq. Needs
     # dd[n,o] = sum_hw g_pre * conv_out, with conv_out recovered from y.
@@ -480,11 +544,16 @@ def _modconv_bwd(gain, alpha, demodulate, res, g):
     if demodulate and (styles_p or w_p):
         pre = jnp.where(y >= 0, y.astype(f32), y.astype(f32) / alpha) / gain
         if noise is not None:
-            pre = pre - noise.astype(f32)[None, :, :, None]
+            nz = noise.astype(f32)
+            nz = (jnp.broadcast_to(nz.reshape(h, wg, pack, 1),
+                                   (h, wg, pack, o)).reshape(h, wg, pack * o)
+                  [None] if packed_io else nz[None, :, :, None])
+            pre = pre - nz
         if bias is not None:
-            pre = pre - bias.astype(f32)
-        conv_out = pre / d[:, None, None, :]
-        dd = jnp.einsum("nhwo,nhwo->no", g_pre, conv_out)      # [N,O]
+            b32 = bias.astype(f32)
+            pre = pre - (jnp.tile(b32, pack) if packed_io else b32)
+        conv_out = pre / d_bcast
+        dd = lane_reduce(g_pre.astype(f32) * conv_out, o)      # [N,O]
         wsq = jnp.sum(jnp.square(w.astype(f32)), axis=(0, 1))  # [C,O]
         e = jnp.square(styles.astype(f32)) @ wsq
         de = dd * (-0.5) * jax.lax.rsqrt(e + 1e-8) / (e + 1e-8)  # d^3 = rsqrt/e
@@ -496,7 +565,9 @@ def _modconv_bwd(gain, alpha, demodulate, res, g):
     dw = None
     if w_p:
         # Training path only: dw[dy,dx,c,o] = sum u_pad[.,y+dy,x+dx,c]*gd'.
-        u = (x * styles[:, None, None, :].astype(x.dtype))
+        x_px = grouped(x, c).reshape(n, h, width, c) if packed_io else x
+        gd_px = grouped(gd, o).reshape(n, h, width, o) if packed_io else gd
+        u = (x_px * styles[:, None, None, :].astype(x.dtype))
         up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)))
         taps = []
         for dy in range(3):
@@ -504,7 +575,7 @@ def _modconv_bwd(gain, alpha, demodulate, res, g):
             for dxx in range(3):
                 win = up[:, dy:dy + h, dxx:dxx + width, :]
                 row.append(jnp.einsum("nhwc,nhwo->co", win.astype(f32),
-                                      gd.astype(f32)))
+                                      gd_px.astype(f32)))
             taps.append(jnp.stack(row))
         dw = jnp.stack(taps)
         if dwsq is not None:
@@ -513,12 +584,15 @@ def _modconv_bwd(gain, alpha, demodulate, res, g):
 
     dnoise = None
     if noise is not None:
-        dnoise = (jnp.sum(g_pre, axis=(0, 3)).astype(noise.dtype)
-                  if noise_p else jnp.zeros_like(noise))
+        if noise_p:
+            dn = jnp.sum(grouped(g_pre.astype(f32), o), axis=(0, 4))
+            dnoise = dn.reshape(noise.shape).astype(noise.dtype)
+        else:
+            dnoise = jnp.zeros_like(noise)
     dbias = None
     if bias is not None:
-        dbias = (jnp.sum(g_pre, axis=(0, 1, 2)).astype(bias.dtype)
-                 if bias_p else jnp.zeros_like(bias))
+        dbias = (jnp.sum(grouped(g_pre.astype(f32), o), axis=(0, 1, 2, 3))
+                 .astype(bias.dtype) if bias_p else jnp.zeros_like(bias))
 
     return (dx if dx is not None else jnp.zeros_like(x),
             dw if dw is not None else jnp.zeros_like(w),
@@ -575,3 +649,537 @@ def pallas_conv_eligible(x_shape, w_shape, groups) -> bool:
         return False
     n, h, w, c = x_shape
     return h == w and h >= 512 and c <= 64 and co <= 64 and w % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# Packed high-resolution pipeline: 2x-upsampling modulated conv whose input
+# AND output live in the lane-packed [N, H, G, 128] representation
+# (G = W*C/128 pixel groups; for the FFHQ synthesis tail G == 256 at every
+# resolution >= 256 because W doubles exactly as C halves).
+#
+# Why: profiling shows the high-res NHWC C=32/64 tensors are layout poison —
+# XLA assigns narrow-lane conv layouts (T(2,128)) and pays a 64 MB relayout
+# copy at every producer/consumer transition, and depthwise FIR convs run
+# 4-5x off the HBM roofline (SynthesisBlock b1024 baseline: ~4 ms/run of
+# pure copies). Keeping every >=512^2 op in one 128-lane packed layout
+# removes the narrow tensors altogether. This replaces the reference's
+# upfirdn2d.cu fused resampler (reference upfirdn2d.cu:21,90) for the
+# synthesis hot path.
+#
+# Index algebra (derived from the zero-insert upsample semantics of
+# conv2d_resample's up path, conv2d_resample.py:200-231): with composed
+# pixel kernel K[L, L] and torch-style padding p0, out pixel o depends on
+# in pixel m via tap t = 2*(m - o//2) + p0 - (o % 2), valid when 0 <= t < L.
+# In the packed domain (in pack P, out pack Q = 2P) the group count is
+# resolution-invariant, so the up-conv is a plain 3-group-window block conv
+# with parity-dependent row taps; its adjoint (the backward dx) is a
+# 6-row-window block conv at the input resolution.
+# ---------------------------------------------------------------------------
+
+
+def _pack_upconv_kernel(kpix, pack_in, pack_out, p0):
+    """Packed-domain block kernels for a 2x-up conv with composed pixel
+    kernel kpix [L, L, Cin, Cout]. Returns [2(parity), 3(dy), 3(gx),
+    P*Cin, Q*Cout]; row tap t_y = 2*(dy-1) + p0 - parity, column tap
+    t_x = 2*(P*(gx-1) + u - v//2) + p0 - (v%2)."""
+    import numpy as np
+
+    L, _, cin, cout = kpix.shape
+    P, Q = pack_in, pack_out
+    kpad = jnp.concatenate(
+        [kpix, jnp.zeros((1, L, cin, cout), kpix.dtype)], axis=0)
+    kpad = jnp.concatenate(
+        [kpad, jnp.zeros((L + 1, 1, cin, cout), kpix.dtype)], axis=1)
+
+    def tap(t):
+        return np.where((t >= 0) & (t < L), t, L)
+
+    rho = np.arange(2)[:, None, None, None, None]
+    dy = np.arange(3)[None, :, None, None, None]
+    gx = np.arange(3)[None, None, :, None, None]
+    u = np.arange(P)[None, None, None, :, None]
+    v = np.arange(Q)[None, None, None, None, :]
+    t_y = tap(2 * (dy - 1) + p0 - rho)                     # [2,3,1,1,1]
+    t_x = tap(2 * (P * (gx - 1) + u - v // 2) + p0 - (v % 2))
+    t_y = np.broadcast_to(t_y, (2, 3, 3, P, Q))
+    t_x = np.broadcast_to(t_x, (2, 3, 3, P, Q))
+    blk = kpad[t_y, t_x]                                   # [2,3,3,P,Q,ci,co]
+    blk = blk.transpose(0, 1, 2, 3, 5, 4, 6)               # [2,3,3,P,ci,Q,co]
+    return blk.reshape(2, 3, 3, P * cin, Q * cout)
+
+
+def _pack_downconv_kernel(kpix, pack_in, pack_out, p0):
+    """Adjoint (down) block kernels: dx[m] = sum_o K[2m - o + p0] g[o].
+    Returns [6(dr), 3(gx), Q*Cout, P*Cin]; row tap t_y = p0 + 2 - dr,
+    column tap t_x = 2u - v - Q*(gx-1) + p0."""
+    import numpy as np
+
+    L, _, cin, cout = kpix.shape
+    P, Q = pack_in, pack_out
+    kpad = jnp.concatenate(
+        [kpix, jnp.zeros((1, L, cin, cout), kpix.dtype)], axis=0)
+    kpad = jnp.concatenate(
+        [kpad, jnp.zeros((L + 1, 1, cin, cout), kpix.dtype)], axis=1)
+
+    def tap(t):
+        return np.where((t >= 0) & (t < L), t, L)
+
+    dr = np.arange(6)[:, None, None, None]
+    gx = np.arange(3)[None, :, None, None]
+    v = np.arange(Q)[None, None, :, None]
+    u = np.arange(P)[None, None, None, :]
+    t_y = tap(np.broadcast_to(p0 + 2 - dr, (6, 3, Q, P)))
+    t_x = tap(np.broadcast_to(2 * u - v - Q * (gx - 1) + p0, (6, 3, Q, P)))
+    blk = kpad[t_y, t_x]                                   # [6,3,Q,P,ci,co]
+    blk = blk.transpose(0, 1, 2, 5, 3, 4)                  # [6,3,Q,co,P,ci]
+    return blk.reshape(6, 3, Q * cout, P * cin)
+
+
+def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
+                          tile_out, wg, gain, alpha, use_noise, use_bias):
+    """Packed 2x-up modulated conv + demod + noise + bias + lrelu. Output
+    tile rows [r0, r0+tile_out) draw on input rows r0//2 - 1 .. r0//2 +
+    tile_out//2 (+1 halo each side, same VMEM-halo scheme as
+    _modconv_epilogue_kernel). we/wo: parity block kernels [3,3,PC,QO]."""
+    if use_noise:
+        noise_ref, rest = rest[0], rest[1:]
+    if use_bias:
+        bias_ref, rest = rest[0], rest[1:]
+    o_ref, x_vmem, sems = rest
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    pc = x_vmem.shape[-1]
+    po = o_ref.shape[-1]
+    h_in = x_hbm.shape[1]
+    tile_in = tile_out // 2
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def dmas(s, tile_idx):
+        row0 = tile_idx * tile_in
+        ops = [pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(row0, tile_in)],
+            x_vmem.at[s, pl.ds(1, tile_in), pl.ds(8, wg)], sems.at[s, 0])]
+        if n_i > 1:
+            top = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.maximum(row0 - 1, 0), 1)],
+                x_vmem.at[s, pl.ds(0, 1), pl.ds(8, wg)], sems.at[s, 1])
+            bot = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.minimum(row0 + tile_in, h_in - 1), 1)],
+                x_vmem.at[s, pl.ds(tile_in + 1, 1), pl.ds(8, wg)],
+                sems.at[s, 2])
+            ops += [top, bot]
+        return ops
+
+    @pl.when(i == 0)
+    def _():
+        x_vmem[:, :, :8] = jnp.zeros_like(x_vmem[:, :, :8])
+        x_vmem[:, :, wg + 8:] = jnp.zeros_like(x_vmem[:, :, wg + 8:])
+        if n_i == 1:
+            x_vmem[:, 0] = jnp.zeros_like(x_vmem[:, 0])
+            x_vmem[:, tile_in + 1] = jnp.zeros_like(x_vmem[:, tile_in + 1])
+        for op in dmas(slot, i):
+            op.start()
+
+    @pl.when(i + 1 < n_i)
+    def _():
+        for op in dmas(nxt, i + 1):
+            op.start()
+
+    for op in dmas(slot, i):
+        op.wait()
+
+    if n_i > 1:
+        @pl.when(i == 0)
+        def _():
+            x_vmem[slot, 0] = jnp.zeros_like(x_vmem[slot, 0])
+
+        @pl.when(i == n_i - 1)
+        def _():
+            x_vmem[slot, tile_in + 1] = jnp.zeros_like(
+                x_vmem[slot, tile_in + 1])
+
+    xs = x_vmem[slot] * _row_select(s_ref, b)[None, None, :]
+    accs = []
+    for w_ref in (we_ref, wo_ref):
+        acc = jnp.zeros((tile_in * wg, po), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                win = xs[dy:dy + tile_in, 7 + dx:7 + dx + wg, :].reshape(
+                    tile_in * wg, pc)
+                acc = acc + jnp.dot(win, w_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+        accs.append(acc.reshape(tile_in, 1, wg, po))
+    # Interleave even/odd output rows: [tile_in, 2, wg, po] -> [tile_out,...]
+    y = jnp.concatenate(accs, axis=1).reshape(tile_out, wg, po)
+    y = y * _row_select(d_ref, b)[None, None, :]
+    if use_noise:
+        y = y + noise_ref[...].astype(jnp.float32)
+    if use_bias:
+        y = y + bias_ref[0][None, None, :]
+    if alpha != 1.0:
+        y = jnp.where(y >= 0, y, y * alpha)
+    if gain != 1.0:
+        y = y * gain
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _packed_downconv_kernel(g_hbm, w_ref, o_ref, g_vmem, sems, *,
+                            tile_s, wg):
+    """Adjoint of the packed up-conv: output tile rows [s0, s0+tile_s) at
+    the INPUT resolution read gradient rows [2*s0-2, 2*s0+2*tile_s+2) with
+    a 2-row halo each side. w_ref: [6, 3, QO, PC]."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    qo = g_vmem.shape[-1]
+    pc = o_ref.shape[-1]
+    h_out = g_hbm.shape[1]
+    rows = 2 * tile_s + 4
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def dmas(s, tile_idx):
+        r0 = 2 * tile_idx * tile_s
+        ops = [pltpu.make_async_copy(
+            g_hbm.at[b, pl.ds(r0, 2 * tile_s)],
+            g_vmem.at[s, pl.ds(2, 2 * tile_s), pl.ds(8, wg)], sems.at[s, 0])]
+        if n_i > 1:
+            top = pltpu.make_async_copy(
+                g_hbm.at[b, pl.ds(jnp.maximum(r0 - 2, 0), 2)],
+                g_vmem.at[s, pl.ds(0, 2), pl.ds(8, wg)], sems.at[s, 1])
+            bot = pltpu.make_async_copy(
+                g_hbm.at[b, pl.ds(jnp.minimum(r0 + 2 * tile_s, h_out - 2), 2)],
+                g_vmem.at[s, pl.ds(2 * tile_s + 2, 2), pl.ds(8, wg)],
+                sems.at[s, 2])
+            ops += [top, bot]
+        return ops
+
+    @pl.when(i == 0)
+    def _():
+        g_vmem[:, :, :8] = jnp.zeros_like(g_vmem[:, :, :8])
+        g_vmem[:, :, wg + 8:] = jnp.zeros_like(g_vmem[:, :, wg + 8:])
+        if n_i == 1:
+            g_vmem[:, 0:2] = jnp.zeros_like(g_vmem[:, 0:2])
+            g_vmem[:, 2 * tile_s + 2:] = jnp.zeros_like(
+                g_vmem[:, 2 * tile_s + 2:])
+        for op in dmas(slot, i):
+            op.start()
+
+    @pl.when(i + 1 < n_i)
+    def _():
+        for op in dmas(nxt, i + 1):
+            op.start()
+
+    for op in dmas(slot, i):
+        op.wait()
+
+    if n_i > 1:
+        @pl.when(i == 0)
+        def _():
+            g_vmem[slot, 0:2] = jnp.zeros_like(g_vmem[slot, 0:2])
+
+        @pl.when(i == n_i - 1)
+        def _():
+            g_vmem[slot, 2 * tile_s + 2:] = jnp.zeros_like(
+                g_vmem[slot, 2 * tile_s + 2:])
+
+    g = g_vmem[slot]
+    # View rows as (row_pair, parity) so each dr-tap is a contiguous slice.
+    g2 = g.reshape(rows // 2, 2, g.shape[1], qo)
+    acc = jnp.zeros((tile_s * wg, pc), jnp.float32)
+    for dr in range(6):
+        for gx in range(3):
+            win = g2[dr // 2:dr // 2 + tile_s, dr % 2,
+                     7 + gx:7 + gx + wg, :].reshape(tile_s * wg, qo)
+            acc = acc + jnp.dot(win, w_ref[dr, gx],
+                                preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(tile_s, wg, pc).astype(o_ref.dtype)
+
+
+def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha):
+    """Run the packed up-conv kernel. xp: [N, H_in, G, PC]; blk:
+    [2, 3, 3, PC, QO] parity kernels; s_p [N, PC]; d_p [N, QO] f32;
+    noise_p [H_out, G, QO] or None; bias_p [QO] f32 or None.
+    Returns [N, 2*H_in, G, QO]."""
+    n, h_in, wg, pc = xp.shape
+    qo = blk.shape[-1]
+    h_out = 2 * h_in
+    use_noise = noise_p is not None
+    use_bias = bias_p is not None
+    wgp = 8 + (-(-(wg + 1) // 8) * 8)
+
+    budget = 10 * 1024 * 1024
+    tile_out = 2
+    for t in (32, 16, 8, 4, 2):
+        if h_out % t:
+            continue
+        ti = t // 2
+        need = (2 * (ti + 2) * wgp * pc * 2 + 2 * t * wg * qo * 2
+                + (2 * t * wg * qo * 2 if use_noise else 0)
+                + 2 * ti * wg * qo * 4 + (ti + 2) * wgp * pc * 2)
+        if need <= budget:
+            tile_out = t
+            break
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((3, 3, pc, qo), lambda b, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, pc, qo), lambda b, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # styles [N, PC]
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # demod  [N, QO]
+    ]
+    args = [xp, blk[0], blk[1], s_p, d_p]
+    if use_noise:
+        in_specs.append(pl.BlockSpec((tile_out, wg, qo),
+                                     lambda b, i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(noise_p)
+    if use_bias:
+        in_specs.append(pl.BlockSpec((1, qo), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_p[None].astype(jnp.float32))
+
+    def kern(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest):
+        _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
+                              tile_out=tile_out, wg=wg, gain=float(gain),
+                              alpha=float(alpha), use_noise=use_noise,
+                              use_bias=use_bias)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h_out, wg, qo), xp.dtype),
+        grid=(n, h_out // tile_out),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile_out, wg, qo),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_out // 2 + 2, wgp, pc), xp.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )(*args)
+
+
+def _packed_downconv_pallas(gp, kdown):
+    """Adjoint of _packed_upconv_pallas. gp: [N, H_out, G, QO]; kdown:
+    [6, 3, QO, PC]. Returns [N, H_out//2, G, PC]."""
+    n, h_out, wg, qo = gp.shape
+    pc = kdown.shape[-1]
+    h_in = h_out // 2
+    wgp = 8 + (-(-(wg + 1) // 8) * 8)
+
+    budget = 10 * 1024 * 1024
+    tile_s = 2
+    for t in (32, 16, 8, 4, 2):
+        if h_in % t:
+            continue
+        need = (2 * (2 * t + 4) * wgp * qo * 2 + 2 * t * wg * pc * 2
+                + t * wg * pc * 4 + (2 * t + 4) * wgp * qo * 2)
+        if need <= budget:
+            tile_s = t
+            break
+
+    return pl.pallas_call(
+        functools.partial(_packed_downconv_kernel, tile_s=tile_s, wg=wg),
+        out_shape=jax.ShapeDtypeStruct((n, h_in, wg, pc), gp.dtype),
+        grid=(n, h_in // tile_s),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((6, 3, qo, pc), lambda b, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_s, wg, pc),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * tile_s + 4, wgp, qo), gp.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )(gp, kdown)
+
+
+def _upconv_geometry(x_shape, w_shape, f):
+    n, h_in, wg, lanes = x_shape
+    kh, kw, cin, cout = w_shape
+    assert lanes % cin == 0, (lanes, cin)
+    P = lanes // cin
+    Q = 2 * P
+    assert Q * cout == lanes, \
+        f"packed up-conv needs cout == cin/2 (got {cin}->{cout})"
+    fw = int(f.shape[-1]) if f is not None else 1
+    p0 = kh // 2 + (fw + 1) // 2
+    return P, Q, p0
+
+
+def _packed_upconv_fwd_impl(x, w, styles, f, noise, bias, gain, alpha,
+                            demodulate, flip_weight):
+    n, h_in, wg, lanes = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    P, Q, p0 = _upconv_geometry(x.shape, w.shape, f)
+    s = styles if styles is not None else jnp.ones((n, cin), jnp.float32)
+    d, _ = _demod_coef(w, s, demodulate)
+
+    kpix = _compose_kernel_fir(w.astype(jnp.float32), f, flip_weight, False,
+                               gain=4.0)
+    blk = _pack_upconv_kernel(kpix.astype(x.dtype), P, Q, p0)
+    s_p = jnp.tile(s.astype(x.dtype), (1, P))
+    d_p = jnp.tile(d, (1, Q))
+    noise_p = None
+    if noise is not None:
+        h_out, w_out = noise.shape
+        noise_p = jnp.broadcast_to(
+            noise.reshape(h_out, wg, Q, 1), (h_out, wg, Q, cout)
+        ).reshape(h_out, wg, Q * cout).astype(x.dtype)
+    bias_p = jnp.tile(bias.astype(jnp.float32), Q) if bias is not None else None
+    y = _packed_upconv_pallas(x, blk, s_p, d_p, noise_p, bias_p, gain, alpha)
+    return y, d, kpix
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_packed_upconv2(x, w, styles, f, noise, bias, gain, alpha,
+                         demodulate, flip_weight):
+    """Lane-packed 2x-upsampling modulated conv + FIR + demod + noise +
+    bias + leaky_relu, input and output both in packed [N, H, G, 128] form.
+
+    x: packed input (P = 128//Cin pixels per lane group); w: pixel-space
+    [kh, kw, Cin, Cout] with Cout == Cin//2 (so the output lane group holds
+    Q = 2P pixels); styles: [N, Cin] or None (None = unmodulated, e.g. the
+    resnet skip 1x1); f: FIR taps from setup_filter; noise: [H_out, W_out]
+    pre-scaled or None; bias [Cout] or None.
+
+    Replaces conv2d_resample's up=2 path (conv2d_resample.py:200-231) +
+    modulated_conv2d epilogue for the high-resolution synthesis blocks —
+    the whole thing is one VMEM-resident pallas pass, and the backward dx
+    is one packed down-conv pass (the exact adjoint). Weight/FIR gradients
+    are only computed when those inputs are actually differentiated
+    (training); they fall back to a pure-XLA vjp of the unpacked reference
+    composition, which keeps them exactly consistent with the unfused path.
+    """
+    y, _, _ = _packed_upconv_fwd_impl(x, w, styles, f, noise, bias, gain,
+                                      alpha, demodulate, flip_weight)
+    return y
+
+
+def _packed_upconv_fwd(x, w, styles, f, noise, bias, gain, alpha,
+                       demodulate, flip_weight):
+    styles_v = None if styles is None else styles.value
+    noise_v = None if noise is None else noise.value
+    bias_v = None if bias is None else bias.value
+    y, d, kpix = _packed_upconv_fwd_impl(
+        x.value, w.value, styles_v, f.value, noise_v, bias_v, gain, alpha,
+        demodulate, flip_weight)
+    flags = (_tok(w.perturbed),
+             _tok(noise is not None and noise.perturbed),
+             _tok(bias is not None and bias.perturbed),
+             _tok(styles is not None and styles.perturbed),
+             _tok(x.perturbed))
+    res = (x.value, w.value, styles_v, f.value, noise_v, bias_v, y, d,
+           kpix, flags)
+    return y, res
+
+
+def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
+    x, w, styles, f, noise, bias, y, d, kpix, flags = res
+    w_p, noise_p, bias_p, styles_p, x_p = [fl is not None for fl in flags]
+    n, h_in, wg, lanes = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    P, Q, p0 = _upconv_geometry(x.shape, w.shape, f)
+    f32 = jnp.float32
+
+    mask = jnp.where(y >= 0, jnp.asarray(gain, g.dtype),
+                     jnp.asarray(gain * alpha, g.dtype))
+    g_pre = g * mask                                          # [N,Hout,G,QO]
+    d_p = jnp.tile(d, (1, Q))
+    gd = g_pre * d_p[:, None, None, :].astype(g.dtype)
+
+    dx = ds = None
+    if x_p or styles_p:
+        kdown = _pack_downconv_kernel(kpix.astype(g.dtype), P, Q, p0)
+        du = _packed_downconv_pallas(gd, kdown)               # [N,Hin,G,PC]
+    s = styles if styles is not None else jnp.ones((n, cin), f32)
+    s_p = jnp.tile(s.astype(f32), (1, P))
+    if x_p:
+        dx = (du.astype(f32) * s_p[:, None, None, :]).astype(x.dtype)
+    def lane_reduce(t, pk, ch):
+        """sum over pixels -> [N, ch], lane-preserving first (see
+        _modconv_bwd.lane_reduce)."""
+        part = jnp.sum(t.reshape(n, -1, pk * ch), axis=1)
+        return jnp.sum(part.reshape(n, pk, ch), axis=1)
+
+    if styles_p:
+        ds = lane_reduce(x.astype(f32) * du.astype(f32), P, cin)
+
+    dwsq = None
+    if demodulate and (styles_p or w_p):
+        pre = jnp.where(y >= 0, y.astype(f32), y.astype(f32) / alpha) / gain
+        if noise is not None:
+            h_out = noise.shape[0]
+            nz = jnp.broadcast_to(
+                noise.astype(f32).reshape(h_out, wg, Q, 1),
+                (h_out, wg, Q, cout)).reshape(h_out, wg, Q * cout)
+            pre = pre - nz[None]
+        if bias is not None:
+            pre = pre - jnp.tile(bias.astype(f32), Q)
+        conv_out = pre / d_p[:, None, None, :]
+        dd = lane_reduce(g_pre.astype(f32) * conv_out, Q, cout)  # [N,Cout]
+        wsq = jnp.sum(jnp.square(w.astype(f32)), axis=(0, 1))
+        ee = jnp.square(s.astype(f32)) @ wsq
+        de = dd * (-0.5) * jax.lax.rsqrt(ee + 1e-8) / (ee + 1e-8)
+        if styles_p:
+            ds = ds + 2.0 * s.astype(f32) * (de @ wsq.T)
+        if w_p:
+            dwsq = jnp.square(s.astype(f32)).T @ de
+
+    dw = None
+    if w_p:
+        # Training path: vjp of the unpacked XLA reference composition
+        # w.r.t. the weight (exactly the unfused semantics).
+        from morphganformer_tpu.ops.modulated_conv import modulated_conv2d
+        x_unp = x.reshape(n, h_in, wg, P, cin).reshape(n, h_in, wg * P, cin)
+        gd_unp = gd.astype(f32).reshape(n, 2 * h_in, wg, Q, cout).reshape(
+            n, 2 * h_in, wg * Q, cout)
+
+        def conv_of_w(w_):
+            return modulated_conv2d(
+                x_unp, w_.astype(x.dtype), styles=s.astype(f32), up=2,
+                padding=w.shape[0] // 2, resample_kernel=f,
+                demodulate=False, flip_weight=flip_weight).astype(f32)
+
+        # conv_of_w(w) = conv(x*s, K(w)) and gd = g_pre * d, so this is the
+        # first product-rule term of d*conv; the demod chain adds the rest.
+        dw = jax.vjp(conv_of_w, w.astype(f32))[1](gd_unp)[0]
+        if dwsq is not None:
+            dw = dw + 2.0 * w.astype(f32) * dwsq[None, None]
+        dw = dw.astype(w.dtype)
+
+    dnoise = None
+    if noise is not None:
+        if noise_p:
+            dn = jnp.sum(g_pre.astype(f32).reshape(n, -1, wg, Q, cout),
+                         axis=(0, 4))
+            dnoise = dn.reshape(noise.shape).astype(noise.dtype)
+        else:
+            dnoise = jnp.zeros_like(noise)
+    dbias = None
+    if bias is not None:
+        dbias = (jnp.sum(g_pre.astype(f32).reshape(n, -1, wg, Q, cout),
+                         axis=(0, 1, 2, 3))
+                 .astype(bias.dtype) if bias_p else jnp.zeros_like(bias))
+
+    return (dx if dx is not None else jnp.zeros_like(x),
+            dw if dw is not None else jnp.zeros_like(w),
+            None if styles is None else (
+                ds.astype(styles.dtype) if ds is not None
+                else jnp.zeros_like(styles)),
+            jnp.zeros_like(f),
+            dnoise, dbias)
+
+
+fused_packed_upconv2.defvjp(_packed_upconv_fwd, _packed_upconv_bwd,
+                            symbolic_zeros=True)

@@ -57,11 +57,19 @@ def test_landmarks_track_translation(landmark_fn):
     p0 = np.asarray(landmark_fn(jnp.asarray(img[None])))[0]
 
     shift = 8  # pixels at 128 => 0.0625 normalized
-    rolled = np.roll(img, shift, axis=1)  # shift down
+    # img is [H, W, 3]: axis 0 is y (down), axis 1 is x; predictions are
+    # (x, y) pairs.
+    rolled = np.roll(img, shift, axis=0)  # shift down
     p1 = np.asarray(landmark_fn(jnp.asarray(rolled[None])))[0]
     dy = (p1 - p0)[:, 1].mean()
     assert abs(dy - shift / 128) < 0.02, f"dy {dy:.4f} vs {shift/128:.4f}"
     assert abs((p1 - p0)[:, 0].mean()) < 0.02
+
+    rolled_x = np.roll(img, shift, axis=1)  # shift right
+    p2 = np.asarray(landmark_fn(jnp.asarray(rolled_x[None])))[0]
+    dx = (p2 - p0)[:, 0].mean()
+    assert abs(dx - shift / 128) < 0.02, f"dx {dx:.4f} vs {shift/128:.4f}"
+    assert abs((p2 - p0)[:, 1].mean()) < 0.02
 
 
 def test_wing_loss_gradient_pulls_toward_target(landmark_fn):

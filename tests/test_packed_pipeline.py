@@ -1,0 +1,125 @@
+"""Lane-packed high-resolution pipeline: parity with the unfused model.
+
+The packed path (ops/pallas_conv.py packed kernels + synthesis.py
+packed_block_eligible) is TPU-gated; these tests force it on (interpret
+mode) on a small config whose top block satisfies the structural
+conditions (in_ch 64 -> out_ch 32, G = 8)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morphganformer_tpu.models import synthesis as syn_mod
+from morphganformer_tpu.models.config import (
+    AttentionConfig,
+    GANformerConfig,
+    MappingConfig,
+)
+from morphganformer_tpu.models.generator import Generator
+
+
+def _small_cfg():
+    return GANformerConfig(
+        img_resolution=32, z_dim=8, w_dim=8, k=3,
+        channel_base=1024, channel_max=64, end_res=4,
+        mapping=MappingConfig(num_layers=2),
+        attention=AttentionConfig())
+
+
+@pytest.fixture()
+def force_packed(monkeypatch):
+    orig = syn_mod.packed_block_eligible
+
+    def patched(cfg, res, noise_mode):
+        import os
+        if os.environ.get("MGT_PACKED_SYNTH", "1") == "0":
+            return False
+        in_ch = cfg.channels(res // 2)
+        out_ch = cfg.channels(res)
+        g = (res // 2) * in_ch // 128
+        return (cfg.architecture == "resnet" and cfg.style
+                and cfg.act == "lrelu" and res > 4
+                and not cfg.use_attention(res)
+                and noise_mode in ("const", "none")
+                and in_ch <= 128 and 128 % in_ch == 0
+                and out_ch * 2 == in_ch
+                and (res // 2) * in_ch % 128 == 0
+                and g % 8 == 0)
+
+    monkeypatch.setattr(syn_mod, "packed_block_eligible", patched)
+    # sanity: the top block must actually qualify under the patched gate
+    assert patched(_small_cfg(), 32, "const")
+    return patched
+
+
+def test_packed_generator_matches_unpacked(force_packed, monkeypatch):
+    cfg = _small_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.k, cfg.z_dim))
+    rngs = {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2),
+            "mask": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
+
+    monkeypatch.setenv("MGT_PACKED_SYNTH", "0")
+    variables = model.init(rngs, z, noise_mode="const")
+    ref = model.apply(variables, z, truncation_psi=0.7, noise_mode="const")
+
+    monkeypatch.setenv("MGT_PACKED_SYNTH", "1")
+    got = model.apply(variables, z, truncation_psi=0.7, noise_mode="const")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_generator_grads_match(force_packed, monkeypatch):
+    cfg = _small_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
+    rngs = {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2),
+            "mask": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
+    monkeypatch.setenv("MGT_PACKED_SYNTH", "0")
+    variables = model.init(rngs, z, noise_mode="const")
+
+    def loss(zz):
+        img = model.apply(variables, zz, truncation_psi=0.7,
+                          noise_mode="const")
+        return jnp.mean(jnp.square(img))
+
+    g_ref = jax.grad(loss)(z)
+    monkeypatch.setenv("MGT_PACKED_SYNTH", "1")
+    g_got = jax.grad(loss)(z)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_packed_training_grads_match(force_packed, monkeypatch):
+    """Weight gradients through the packed path (training pattern)."""
+    cfg = _small_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
+    rngs = {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2),
+            "mask": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
+    monkeypatch.setenv("MGT_PACKED_SYNTH", "0")
+    variables = model.init(rngs, z, noise_mode="const")
+    params, rest = variables["params"], {k: v for k, v in variables.items()
+                                         if k != "params"}
+
+    def loss(p):
+        img = model.apply(dict(rest, params=p), z, truncation_psi=0.7,
+                          noise_mode="const")
+        return jnp.mean(jnp.square(img))
+
+    g_ref = jax.grad(loss)(params)
+    monkeypatch.setenv("MGT_PACKED_SYNTH", "1")
+    g_got = jax.grad(loss)(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(g_got))
+    # compare keys via path strings
+    got_map = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(g_got)}
+    for k, v in flat_ref:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(got_map[ks]), np.asarray(v),
+                                   rtol=5e-3, atol=1e-5, err_msg=ks)
