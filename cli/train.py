@@ -138,7 +138,22 @@ def main(argv=None):
                    help='FID detector: "auto"|"raw"|<inception .npz>')
     p.add_argument("--max-ticks", type=int, default=None,
                    help="Stop after N ticks (smoke runs)")
+    # Multi-host launch (replaces reference run_network.py:372-402's
+    # per-GPU spawn + torch.distributed file:// rendezvous).
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() before training "
+                        "(auto-detected rendezvous on TPU pods)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port for manual multi-host rendezvous")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.multihost or args.coordinator:
+        from morphganformer_tpu.parallel.launch import initialize_distributed
+        idx = initialize_distributed(args.coordinator, args.num_processes,
+                                     args.process_id)
+        print(f"multihost: process {idx} up")
 
     from morphganformer_tpu.training.loop import (
         LoopConfig, latest_snapshot, training_loop)

@@ -3,3 +3,7 @@ from morphganformer_tpu.parallel.mesh import (  # noqa: F401
     make_data_mesh,
     replicated,
 )
+from morphganformer_tpu.parallel.launch import (  # noqa: F401
+    initialize_distributed,
+    is_main_process,
+)

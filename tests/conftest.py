@@ -22,5 +22,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Suite wall time is dominated by XLA compiles of real-model jits on this
+# one-CPU box (cold run ~30 min, ~80% compile). Cache compiled executables
+# persistently (repo-local, .gitignore'd) so repeat runs skip them.
+_cache_dir = os.environ.get(
+    "MGT_TEST_JAX_CACHE",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.device_count() >= 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()}")

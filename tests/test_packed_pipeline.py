@@ -23,11 +23,33 @@ from morphganformer_tpu.models.generator import Generator
 
 
 def _small_cfg():
+    # Smallest config whose top block passes the packed gate: channels
+    # 128 -> 64, G = 8 groups (keeps the interpret-mode kernels cheap).
     return GANformerConfig(
-        img_resolution=32, z_dim=8, w_dim=8, k=3,
-        channel_base=1024, channel_max=64, end_res=4,
+        img_resolution=16, z_dim=8, w_dim=8, k=3,
+        channel_base=1024, channel_max=128, end_res=3,
         mapping=MappingConfig(num_layers=2),
         attention=AttentionConfig())
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = _small_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.k, cfg.z_dim))
+    rngs = {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2),
+            "mask": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
+    import os
+    old = os.environ.get("MGT_PACKED_SYNTH")
+    os.environ["MGT_PACKED_SYNTH"] = "0"
+    try:
+        variables = model.init(rngs, z, noise_mode="const")
+    finally:
+        if old is None:
+            os.environ.pop("MGT_PACKED_SYNTH", None)
+        else:
+            os.environ["MGT_PACKED_SYNTH"] = old
+    return cfg, model, variables
 
 
 @pytest.fixture()
@@ -52,19 +74,16 @@ def force_packed(monkeypatch):
 
     monkeypatch.setattr(syn_mod, "packed_block_eligible", patched)
     # sanity: the top block must actually qualify under the patched gate
-    assert patched(_small_cfg(), 32, "const")
+    assert patched(_small_cfg(), 16, "const")
     return patched
 
 
-def test_packed_generator_matches_unpacked(force_packed, monkeypatch):
-    cfg = _small_cfg()
-    model = Generator(cfg)
+def test_packed_generator_matches_unpacked(force_packed, monkeypatch,
+                                            model_and_vars):
+    cfg, model, variables = model_and_vars
     z = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.k, cfg.z_dim))
-    rngs = {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2),
-            "mask": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
 
     monkeypatch.setenv("MGT_PACKED_SYNTH", "0")
-    variables = model.init(rngs, z, noise_mode="const")
     ref = model.apply(variables, z, truncation_psi=0.7, noise_mode="const")
 
     monkeypatch.setenv("MGT_PACKED_SYNTH", "1")
@@ -73,14 +92,11 @@ def test_packed_generator_matches_unpacked(force_packed, monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_packed_generator_grads_match(force_packed, monkeypatch):
-    cfg = _small_cfg()
-    model = Generator(cfg)
+def test_packed_generator_grads_match(force_packed, monkeypatch,
+                                      model_and_vars):
+    cfg, model, variables = model_and_vars
     z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
-    rngs = {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2),
-            "mask": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
     monkeypatch.setenv("MGT_PACKED_SYNTH", "0")
-    variables = model.init(rngs, z, noise_mode="const")
 
     def loss(zz):
         img = model.apply(variables, zz, truncation_psi=0.7,
@@ -94,15 +110,12 @@ def test_packed_generator_grads_match(force_packed, monkeypatch):
                                rtol=2e-3, atol=1e-5)
 
 
-def test_packed_training_grads_match(force_packed, monkeypatch):
+def test_packed_training_grads_match(force_packed, monkeypatch,
+                                     model_and_vars):
     """Weight gradients through the packed path (training pattern)."""
-    cfg = _small_cfg()
-    model = Generator(cfg)
+    cfg, model, variables = model_and_vars
     z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
-    rngs = {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2),
-            "mask": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
     monkeypatch.setenv("MGT_PACKED_SYNTH", "0")
-    variables = model.init(rngs, z, noise_mode="const")
     params, rest = variables["params"], {k: v for k, v in variables.items()
                                          if k != "params"}
 

@@ -100,3 +100,36 @@ def test_grad_accumulation_matches_full_batch():
                                               g_reg_interval=None, loss=loss),
                                   mesh=None).init_state(seed=0))["g"]["params"])
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_initialize_distributed_single_process():
+    """Multi-host launch path in its single-process degenerate form: the
+    same jax.distributed.initialize call a pod launch uses, with an
+    explicit localhost coordinator (reference run_network.py:372-379's
+    file:// rendezvous equivalent). Must run before any backend init, so
+    it executes in a fresh subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {root!r})
+from morphganformer_tpu.parallel.launch import (
+    initialize_distributed, is_main_process)
+idx = initialize_distributed("localhost:12355", num_processes=1, process_id=0)
+assert jax.distributed.is_initialized()
+assert idx == 0 and is_main_process()
+assert initialize_distributed("localhost:12355", 1, 0) == 0  # idempotent
+import jax.numpy as jnp
+assert float(jnp.sum(jnp.ones(4))) == 4.0  # computation works after init
+print("MULTIHOST-OK")
+""".format(root=os.path.join(os.path.dirname(__file__), ".."))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MULTIHOST-OK" in out.stdout

@@ -40,9 +40,12 @@ def _cfgs():
     return g_cfg, d_cfg, t_cfg
 
 
-def test_training_loop_ticks_snapshots_resume(data_dir, tmp_path):
+@pytest.fixture(scope="module")
+def loop_run(data_dir, tmp_path_factory):
+    """One 2-tick training run shared by the tests below (the loop is the
+    expensive part; each test checks a different artifact of the run)."""
     g_cfg, d_cfg, t_cfg = _cfgs()
-    run_dir = str(tmp_path / "run")
+    run_dir = str(tmp_path_factory.mktemp("looprun") / "run")
     l_cfg = LoopConfig(run_dir=run_dir, total_kimg=1, kimg_per_tick=0.02,
                        snapshot_ticks=1, img_snapshot_ticks=2,
                        last_snapshots=2,
@@ -51,6 +54,12 @@ def test_training_loop_ticks_snapshots_resume(data_dir, tmp_path):
                        vis=("grid", "interp", "mixing", "attention", "noise"))
     state = training_loop(g_cfg, d_cfg, t_cfg, l_cfg, data_dir,
                           resume=None, use_mesh=False, max_ticks=2)
+    return run_dir, l_cfg, state
+
+
+def test_training_loop_ticks_snapshots_resume(data_dir, loop_run):
+    g_cfg, d_cfg, t_cfg = _cfgs()
+    run_dir, l_cfg, state = loop_run
     nimg1 = int(np.asarray(state["cur_nimg"]))
     assert nimg1 >= 40  # 2 ticks of 20 images
 
@@ -78,18 +87,13 @@ def test_training_loop_ticks_snapshots_resume(data_dir, tmp_path):
     assert nimg2 > nimg1
 
 
-def test_snapshot_loads_as_generator_checkpoint(data_dir, tmp_path):
+def test_snapshot_loads_as_generator_checkpoint(data_dir, loop_run):
     import jax
     import jax.numpy as jnp
 
     from morphganformer_tpu.checkpoint.io import load_generator
 
-    g_cfg, d_cfg, t_cfg = _cfgs()
-    run_dir = str(tmp_path / "run2")
-    l_cfg = LoopConfig(run_dir=run_dir, total_kimg=1, kimg_per_tick=0.02,
-                       snapshot_ticks=1)
-    training_loop(g_cfg, d_cfg, t_cfg, l_cfg, data_dir, resume=None,
-                  use_mesh=False, max_ticks=1)
+    run_dir, _, _ = loop_run
     snap = sorted(glob.glob(os.path.join(run_dir, "network-snapshot-*")))[-1]
     cfg, model, variables = load_generator(snap, role="Gs")
     z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
