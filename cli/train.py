@@ -138,6 +138,9 @@ def main(argv=None):
                    help='FID detector: "auto"|"raw"|<inception .npz>')
     p.add_argument("--max-ticks", type=int, default=None,
                    help="Stop after N ticks (smoke runs)")
+    p.add_argument("--snapshot-backend", default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="orbax = async background snapshot saves")
     # Multi-host launch (replaces reference run_network.py:372-402's
     # per-GPU spawn + torch.distributed file:// rendezvous).
     p.add_argument("--multihost", action="store_true",
@@ -202,7 +205,8 @@ def main(argv=None):
                        snapshot_ticks=args.snapshot_ticks,
                        img_snapshot_ticks=args.img_snapshot_ticks,
                        eval_metrics=tuple(args.metrics),
-                       vis=tuple(args.vis), detector=args.detector)
+                       vis=tuple(args.vis), detector=args.detector,
+                       snapshot_backend=args.snapshot_backend)
     training_loop(g_cfg, d_cfg, t_cfg, l_cfg, args.data_dir,
                   resume=resume, max_ticks=args.max_ticks)
 

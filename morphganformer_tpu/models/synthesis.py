@@ -68,7 +68,7 @@ def packed_block_eligible(cfg: GANformerConfig, res: int,
     return (cfg.architecture == "resnet" and cfg.style
             and cfg.act == "lrelu" and res > 4
             and not cfg.use_attention(res)
-            and noise_mode in ("const", "none")
+            and noise_mode in ("const", "none", "random")
             and in_ch <= 128 and 128 % in_ch == 0
             and out_ch * 2 == in_ch
             and (res // 2) * in_ch % 128 == 0
@@ -139,6 +139,16 @@ class SynthesisLayer(nn.Module):
                         jax.random.PRNGKey(self.out_res * 4 + self.up),
                         (self.out_res, self.out_res)))
                 noise = const.value * strength                   # [H, W]
+            elif self.local_noise and noise_mode == "random":
+                # Training path: per-sample noise [N, H, W]. Drawn with the
+                # same key/shape as the unfused branch (then squeezed) so
+                # the two paths see identical values.
+                strength = self.param("noise_strength",
+                                      nn.initializers.zeros, ())
+                noise = jax.random.normal(
+                    self.make_rng("noise"),
+                    (x.shape[0], self.out_res, self.out_res, 1))[..., 0]
+                noise = noise * strength
 
             if self.use_bias:
                 # Same BiasAct module/param path as the unfused branch.

@@ -190,7 +190,8 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
     acc = acc * _row_select(d_ref, b)[None, :]
     y = acc.reshape(tile_h, wg, po)
     if use_noise:
-        y = y + noise_ref[...].astype(jnp.float32)
+        nz = noise_ref[...]
+        y = y + nz.reshape(tile_h, wg, po).astype(jnp.float32)
     if use_bias:
         y = y + bias_ref[0][None, None, :]
     if alpha != 1.0:
@@ -359,9 +360,14 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha):
     ]
     args = [xp, kp, s_p, d_p]
     if use_noise:
-        in_specs.append(pl.BlockSpec((tile_h, wg, po),
-                                     lambda b, i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        if noise_p.ndim == 4:      # per-sample noise [N, H, wg, PO]
+            in_specs.append(pl.BlockSpec((1, tile_h, wg, po),
+                                         lambda b, i: (b, i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:                      # batch-shared noise [H, wg, PO]
+            in_specs.append(pl.BlockSpec((tile_h, wg, po),
+                                         lambda b, i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
         args.append(noise_p)
     if use_bias:
         in_specs.append(pl.BlockSpec((1, po), lambda b, i: (0, 0),
@@ -429,9 +435,14 @@ def _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha, demodulate,
     d_p = jnp.tile(d, (1, pack))
     noise_p = None
     if noise is not None:
-        noise_p = jnp.broadcast_to(
-            noise.reshape(h, wg, pack, 1), (h, wg, pack, o)
-        ).reshape(h, wg, pack * o).astype(x.dtype)
+        if noise.ndim == 3:        # per-sample [N, H, W]
+            noise_p = jnp.broadcast_to(
+                noise.reshape(n, h, wg, pack, 1), (n, h, wg, pack, o)
+            ).reshape(n, h, wg, pack * o).astype(x.dtype)
+        else:                      # batch-shared [H, W]
+            noise_p = jnp.broadcast_to(
+                noise.reshape(h, wg, pack, 1), (h, wg, pack, o)
+            ).reshape(h, wg, pack * o).astype(x.dtype)
     bias_p = jnp.tile(bias.astype(jnp.float32), pack) if bias is not None else None
     y = _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha)
     return (y if packed_io else y.reshape(n, h, width, o)), d
@@ -545,9 +556,17 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
         pre = jnp.where(y >= 0, y.astype(f32), y.astype(f32) / alpha) / gain
         if noise is not None:
             nz = noise.astype(f32)
-            nz = (jnp.broadcast_to(nz.reshape(h, wg, pack, 1),
-                                   (h, wg, pack, o)).reshape(h, wg, pack * o)
-                  [None] if packed_io else nz[None, :, :, None])
+            if packed_io:
+                if nz.ndim == 3:
+                    nz = jnp.broadcast_to(
+                        nz.reshape(n, h, wg, pack, 1), (n, h, wg, pack, o)
+                    ).reshape(n, h, wg, pack * o)
+                else:
+                    nz = jnp.broadcast_to(
+                        nz.reshape(h, wg, pack, 1), (h, wg, pack, o)
+                    ).reshape(h, wg, pack * o)[None]
+            else:
+                nz = nz[:, :, :, None] if nz.ndim == 3 else nz[None, :, :, None]
             pre = pre - nz
         if bias is not None:
             b32 = bias.astype(f32)
@@ -585,7 +604,8 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
     dnoise = None
     if noise is not None:
         if noise_p:
-            dn = jnp.sum(grouped(g_pre.astype(f32), o), axis=(0, 4))
+            axes = (4,) if noise.ndim == 3 else (0, 4)
+            dn = jnp.sum(grouped(g_pre.astype(f32), o), axis=axes)
             dnoise = dn.reshape(noise.shape).astype(noise.dtype)
         else:
             dnoise = jnp.zeros_like(noise)
@@ -815,7 +835,8 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
     y = jnp.concatenate(accs, axis=1).reshape(tile_out, wg, po)
     y = y * _row_select(d_ref, b)[None, None, :]
     if use_noise:
-        y = y + noise_ref[...].astype(jnp.float32)
+        nz = noise_ref[...]
+        y = y + nz.reshape(tile_out, wg, po).astype(jnp.float32)
     if use_bias:
         y = y + bias_ref[0][None, None, :]
     if alpha != 1.0:
@@ -934,9 +955,14 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha):
     ]
     args = [xp, blk[0], blk[1], s_p, d_p]
     if use_noise:
-        in_specs.append(pl.BlockSpec((tile_out, wg, qo),
-                                     lambda b, i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        if noise_p.ndim == 4:      # per-sample noise [N, H_out, wg, QO]
+            in_specs.append(pl.BlockSpec((1, tile_out, wg, qo),
+                                         lambda b, i: (b, i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:                      # batch-shared noise [H_out, wg, QO]
+            in_specs.append(pl.BlockSpec((tile_out, wg, qo),
+                                         lambda b, i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
         args.append(noise_p)
     if use_bias:
         in_specs.append(pl.BlockSpec((1, qo), lambda b, i: (0, 0),
@@ -1032,10 +1058,15 @@ def _packed_upconv_fwd_impl(x, w, styles, f, noise, bias, gain, alpha,
     d_p = jnp.tile(d, (1, Q))
     noise_p = None
     if noise is not None:
-        h_out, w_out = noise.shape
-        noise_p = jnp.broadcast_to(
-            noise.reshape(h_out, wg, Q, 1), (h_out, wg, Q, cout)
-        ).reshape(h_out, wg, Q * cout).astype(x.dtype)
+        h_out = noise.shape[-2]
+        if noise.ndim == 3:        # per-sample [N, H_out, W_out]
+            noise_p = jnp.broadcast_to(
+                noise.reshape(n, h_out, wg, Q, 1), (n, h_out, wg, Q, cout)
+            ).reshape(n, h_out, wg, Q * cout).astype(x.dtype)
+        else:                      # batch-shared [H_out, W_out]
+            noise_p = jnp.broadcast_to(
+                noise.reshape(h_out, wg, Q, 1), (h_out, wg, Q, cout)
+            ).reshape(h_out, wg, Q * cout).astype(x.dtype)
     bias_p = jnp.tile(bias.astype(jnp.float32), Q) if bias is not None else None
     y = _packed_upconv_pallas(x, blk, s_p, d_p, noise_p, bias_p, gain, alpha)
     return y, d, kpix
@@ -1119,11 +1150,17 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
     if demodulate and (styles_p or w_p):
         pre = jnp.where(y >= 0, y.astype(f32), y.astype(f32) / alpha) / gain
         if noise is not None:
-            h_out = noise.shape[0]
-            nz = jnp.broadcast_to(
-                noise.astype(f32).reshape(h_out, wg, Q, 1),
-                (h_out, wg, Q, cout)).reshape(h_out, wg, Q * cout)
-            pre = pre - nz[None]
+            h_out = noise.shape[-2]
+            if noise.ndim == 3:
+                nz = jnp.broadcast_to(
+                    noise.astype(f32).reshape(n, h_out, wg, Q, 1),
+                    (n, h_out, wg, Q, cout)).reshape(n, h_out, wg, Q * cout)
+                pre = pre - nz
+            else:
+                nz = jnp.broadcast_to(
+                    noise.astype(f32).reshape(h_out, wg, Q, 1),
+                    (h_out, wg, Q, cout)).reshape(h_out, wg, Q * cout)
+                pre = pre - nz[None]
         if bias is not None:
             pre = pre - jnp.tile(bias.astype(f32), Q)
         conv_out = pre / d_p[:, None, None, :]
@@ -1161,8 +1198,9 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
     dnoise = None
     if noise is not None:
         if noise_p:
+            axes = (4,) if noise.ndim == 3 else (0, 4)
             dn = jnp.sum(g_pre.astype(f32).reshape(n, -1, wg, Q, cout),
-                         axis=(0, 4))
+                         axis=axes)
             dnoise = dn.reshape(noise.shape).astype(noise.dtype)
         else:
             dnoise = jnp.zeros_like(noise)

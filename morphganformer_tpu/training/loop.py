@@ -54,6 +54,7 @@ class LoopConfig:
     # the rest mirror the reference's richer vis() products.
     vis: tuple = ("grid",)            # of: grid, interp, mixing, attention, noise
     tensorboard: bool = True          # tfevents mirror of stats.jsonl
+    snapshot_backend: str = "msgpack"  # "msgpack" | "orbax" (async saves)
     seed: int = 0
 
 
@@ -120,13 +121,23 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
     trainer = GANTrainer(g_cfg, d_cfg, t_cfg, mesh=mesh)
     state = trainer.init_state(seed=l_cfg.seed)
 
+    snapshotter = None
+    if l_cfg.snapshot_backend == "orbax":
+        from morphganformer_tpu.checkpoint.orbax_io import AsyncSnapshotter
+        snapshotter = AsyncSnapshotter()
+
     # Auto-resume (reference run_network.py:327-360).
     if resume == "auto":
         resume = latest_snapshot(l_cfg.run_dir)
     if resume:
         print(f"Resuming from {resume}")
-        state = load_train_state(os.path.join(resume, "train_state.msgpack"),
-                                 jax.device_get(state))
+        msgpack_path = os.path.join(resume, "train_state.msgpack")
+        if os.path.exists(msgpack_path):
+            state = load_train_state(msgpack_path, jax.device_get(state))
+        elif snapshotter is not None:
+            state = snapshotter.restore(resume, template=jax.device_get(state))
+        else:
+            raise FileNotFoundError(msgpack_path)
 
     collector = Collector()
     stats_jsonl = os.path.join(l_cfg.run_dir, "stats.jsonl")
@@ -159,7 +170,13 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
                                             if k != "params"}}, role="G")
         save_generator(snap_dir, g_cfg, gs_vars, role="Gs")
         save_discriminator(snap_dir, d_cfg, {"params": state["d"]["params"]})
-        save_train_state(os.path.join(snap_dir, "train_state.msgpack"), state)
+        if snapshotter is not None:
+            # Async: device->host serialization overlaps the next ticks
+            # (SURVEY.md §5.4 rebuild note: Orbax with async save).
+            snapshotter.save(snap_dir, state)
+        else:
+            save_train_state(os.path.join(snap_dir, "train_state.msgpack"),
+                             state)
         # Retention GC.
         snaps = sorted(glob.glob(os.path.join(l_cfg.run_dir,
                                               "network-snapshot-*")),
@@ -281,6 +298,8 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
     if jax.process_index() == 0:
         snap = maybe_snapshot(force=True)
         evaluate(snapshot_dir=snap)
+    if snapshotter is not None:
+        snapshotter.wait()
     if tb_writer is not None:
         tb_writer.close()
     return state

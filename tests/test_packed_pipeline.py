@@ -136,3 +136,42 @@ def test_packed_training_grads_match(force_packed, monkeypatch,
         ks = jax.tree_util.keystr(k)
         np.testing.assert_allclose(np.asarray(got_map[ks]), np.asarray(v),
                                    rtol=5e-3, atol=1e-5, err_msg=ks)
+
+
+def test_packed_random_noise_matches_unpacked(force_packed, monkeypatch,
+                                              model_and_vars):
+    """Training path: per-sample random noise flows through the packed
+    kernels batched; both paths draw noise with identical flax rng paths
+    and shapes, so outputs must match."""
+    cfg, model, variables = model_and_vars
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.k, cfg.z_dim))
+    rngs = {"noise": jax.random.PRNGKey(7), "mask": jax.random.PRNGKey(8),
+            "dropout": jax.random.PRNGKey(9)}
+
+    monkeypatch.setenv("MGT_PACKED_SYNTH", "0")
+    ref = model.apply(variables, z, truncation_psi=0.7, noise_mode="random",
+                      rngs=rngs)
+    monkeypatch.setenv("MGT_PACKED_SYNTH", "1")
+    got = model.apply(variables, z, truncation_psi=0.7, noise_mode="random",
+                      rngs=rngs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # and gradients to params (what the train step differentiates)
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss(p, flag):
+        monkeypatch.setenv("MGT_PACKED_SYNTH", flag)
+        img = model.apply(dict(rest, params=p), z, truncation_psi=0.7,
+                          noise_mode="random", rngs=rngs)
+        return jnp.mean(jnp.square(img))
+
+    g_ref = jax.grad(lambda p: loss(p, "0"))(params)
+    g_got = jax.grad(lambda p: loss(p, "1"))(params)
+    ref_map = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(g_ref)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_got):
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref_map[ks]),
+                                   rtol=5e-3, atol=1e-5, err_msg=ks)

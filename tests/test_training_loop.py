@@ -100,3 +100,27 @@ def test_snapshot_loads_as_generator_checkpoint(data_dir, loop_run):
     img = model.apply(variables, z, noise_mode="const")
     assert img.shape == (1, 16, 16, 3)
     assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_orbax_snapshot_backend_roundtrip(data_dir, tmp_path):
+    """Async Orbax snapshots: a 1-tick run saves via AsyncCheckpointer and
+    a resumed run restores the full train state from the orbax directory
+    (no train_state.msgpack on disk)."""
+    import os
+
+    g_cfg, d_cfg, t_cfg = _cfgs()
+    run_dir = str(tmp_path / "orbax_run")
+    l_cfg = LoopConfig(run_dir=run_dir, total_kimg=1, kimg_per_tick=0.02,
+                       snapshot_ticks=1, snapshot_backend="orbax",
+                       tensorboard=False)
+    state = training_loop(g_cfg, d_cfg, t_cfg, l_cfg, data_dir, resume=None,
+                          use_mesh=False, max_ticks=1)
+    nimg1 = int(np.asarray(state["cur_nimg"]))
+    snaps = sorted(glob.glob(os.path.join(run_dir, "network-snapshot-*")))
+    assert snaps
+    assert os.path.isdir(os.path.join(snaps[-1], "orbax"))
+    assert not os.path.exists(os.path.join(snaps[-1], "train_state.msgpack"))
+
+    state2 = training_loop(g_cfg, d_cfg, t_cfg, l_cfg, data_dir,
+                           resume=snaps[-1], use_mesh=False, max_ticks=1)
+    assert int(np.asarray(state2["cur_nimg"])) > nimg1
