@@ -323,17 +323,19 @@ def conv3x3_same_packed(x, w, pack=None):
     return y.reshape(n, h, width, o)
 
 
-def _pick_tile_h_mod(h, pc, po, wg, use_noise):
-    """VMEM-budgeted row-tile height for the fused modconv kernel."""
+def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2):
+    """VMEM-budgeted row-tile height for the fused modconv kernel.
+    esize: bytes per element of the compute dtype (2 bf16 / 4 f32)."""
     budget = 10 * 1024 * 1024
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
     for tile in (128, 64, 32, 16, 8, 4, 2, 1):
         if h % tile:
             continue
-        in_bytes = 2 * (tile + 2) * wgp * pc * 2          # double-buffered x
-        xs_bytes = (tile + 2) * wgp * pc * 2              # style-scaled temp
-        out_bytes = 2 * tile * wg * max(po, 128) * 2      # pipelined out
-        noise_bytes = 2 * tile * wg * max(po, 128) * 2 if use_noise else 0
+        in_bytes = 2 * (tile + 2) * wgp * pc * esize      # double-buffered x
+        xs_bytes = (tile + 2) * wgp * pc * esize          # style-scaled temp
+        out_bytes = 2 * tile * wg * max(po, 128) * esize  # pipelined out
+        noise_bytes = (2 * tile * wg * max(po, 128) * esize
+                       if use_noise else 0)
         acc_bytes = tile * wg * max(po, 128) * 4
         if in_bytes + xs_bytes + out_bytes + noise_bytes + acc_bytes <= budget:
             return tile
@@ -349,7 +351,8 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha):
     use_noise = noise_p is not None
     use_bias = bias_p is not None
     wgp = 8 + (-(-(wg + 1) // 8) * 8)   # data at [8, wg+8) + right border
-    tile_h = _pick_tile_h_mod(h, pc, po, wg, use_noise)
+    tile_h = _pick_tile_h_mod(h, pc, po, wg, use_noise,
+                              esize=xp.dtype.itemsize)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),              # x stays in HBM
@@ -931,15 +934,16 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha):
     use_bias = bias_p is not None
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
 
+    es = xp.dtype.itemsize
     budget = 10 * 1024 * 1024
     tile_out = 2
     for t in (32, 16, 8, 4, 2):
         if h_out % t:
             continue
         ti = t // 2
-        need = (2 * (ti + 2) * wgp * pc * 2 + 2 * t * wg * qo * 2
-                + (2 * t * wg * qo * 2 if use_noise else 0)
-                + 2 * ti * wg * qo * 4 + (ti + 2) * wgp * pc * 2)
+        need = (2 * (ti + 2) * wgp * pc * es + 2 * t * wg * qo * es
+                + (2 * t * wg * qo * es if use_noise else 0)
+                + 2 * ti * wg * qo * 4 + (ti + 2) * wgp * pc * es)
         if need <= budget:
             tile_out = t
             break
@@ -999,13 +1003,14 @@ def _packed_downconv_pallas(gp, kdown):
     h_in = h_out // 2
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
 
+    es = gp.dtype.itemsize
     budget = 10 * 1024 * 1024
     tile_s = 2
     for t in (32, 16, 8, 4, 2):
         if h_in % t:
             continue
-        need = (2 * (2 * t + 4) * wgp * qo * 2 + 2 * t * wg * pc * 2
-                + t * wg * pc * 4 + (2 * t + 4) * wgp * qo * 2)
+        need = (2 * (2 * t + 4) * wgp * qo * es + 2 * t * wg * pc * es
+                + t * wg * pc * 4 + (2 * t + 4) * wgp * qo * es)
         if need <= budget:
             tile_s = t
             break
