@@ -66,15 +66,45 @@ def bench_projection_steps(steps=1000):
     return steps / dt, final_loss
 
 
+def bench_generation(batch=4, iters=25):
+    """Secondary anchor from BASELINE.md: 1024^2 generated images/sec/chip
+    (forward-only, bf16, batch 4). Timed device-side via a fori_loop with
+    an input perturbation per iteration (so nothing hoists), ending in a
+    scalar fetch."""
+    import dataclasses
+
+    from morphganformer_tpu.models import ffhq1024_config, init_generator
+
+    cfg = dataclasses.replace(ffhq1024_config(), dtype="bfloat16")
+    model, variables = init_generator(cfg, seed=0, batch=batch)
+    z = jax.random.normal(jax.random.PRNGKey(0), (batch, cfg.k, cfg.z_dim))
+
+    @jax.jit
+    def loop(n):
+        def body(i, acc):
+            img = model.apply(variables, z + i * 1e-6, truncation_psi=0.7,
+                              noise_mode="const")
+            return acc + img[0, 0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(loop(2))
+    t0 = time.perf_counter()
+    float(loop(iters))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def main():
     steps_per_sec, final_loss = bench_projection_steps()
+    imgs_per_sec = bench_generation()
     print(json.dumps({
         "metric": "projection_1024_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / (1000.0 / 30.0), 3),
         "detail": {"final_mse": round(final_loss, 6),
-                   "seconds_per_1000_steps": round(1000.0 / steps_per_sec, 1)},
+                   "seconds_per_1000_steps": round(1000.0 / steps_per_sec, 1),
+                   "gen_1024_imgs_per_sec": round(imgs_per_sec, 1)},
     }))
 
 
