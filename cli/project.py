@@ -41,8 +41,11 @@ def make_extra_terms(weights, args):
             from morphganformer_tpu.losses.lpips import (
                 load_lpips_params, make_lpips_loss, random_lpips_params)
             path = weight_path("lpips_weights", name)
-            params = load_lpips_params(path) if path else \
+            params = load_lpips_params(path, args.lpips_net) if path else \
                 random_lpips_params(args.lpips_net)
+            if params.pop("tower_source", None) == "random":
+                print("lpips: real calibration heads x placeholder tower "
+                      "(torchvision tower weights unavailable)")
             extra[name] = make_lpips_loss(params, args.lpips_net)
         elif name == "wing":
             from morphganformer_tpu.losses.landmarks import (
@@ -86,8 +89,11 @@ def make_extra_terms(weights, args):
                 make_mdf_loss, random_mdf_params)
             from tools.convert_mdf import load_mdf_params
             path = weight_path("mdf_weights", name)
-            ds = load_mdf_params(path) if path else random_mdf_params()
-            extra[name] = make_mdf_loss(ds)
+            if path:
+                ds, padding = load_mdf_params(path, with_padding=True)
+            else:
+                ds, padding = random_mdf_params(), 0
+            extra[name] = make_mdf_loss(ds, padding=padding)
         elif name == "lbp":
             from morphganformer_tpu.losses.lbp import soft_lbp_loss
             extra[name] = soft_lbp_loss

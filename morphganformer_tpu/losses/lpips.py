@@ -204,9 +204,16 @@ def random_lpips_params(net: str = "alex", seed: int = 0) -> Dict:
             "lins": [jnp.asarray(l) for l in lins]}
 
 
-def load_lpips_params(path: str) -> Dict:
+def load_lpips_params(path: str, net: str = "alex") -> Dict:
     """Load converted LPIPS params from the .npz written by
-    tools/convert_lpips.py."""
+    tools/convert_lpips.py.
+
+    Heads-only npz (from `convert_lpips.py <net> out.npz --tower none`, the
+    only conversion possible in a zero-egress env — the reference bundles
+    just the calibration heads, lpips/weights/v0.1/*.pth): the real heads
+    are combined with a seeded random tower (real calibration × placeholder
+    tower) and the result carries `"tower_source": "random"` so callers can
+    surface the caveat."""
     data = np.load(path)
     tower = {}
     lins = []
@@ -216,4 +223,10 @@ def load_lpips_params(path: str) -> Dict:
         else:
             tower[key] = jnp.asarray(data[key])
     lins = [v for _, v in sorted(lins)]
+    expected = len(LPIPS_CHANNELS[net])
+    assert len(lins) == expected, (
+        f"{path}: {len(lins)} lin heads, expected {expected} for '{net}'")
+    if not tower:
+        tower = random_lpips_params(net)["tower"]
+        return {"tower": tower, "lins": lins, "tower_source": "random"}
     return {"tower": tower, "lins": lins}

@@ -61,7 +61,10 @@ def convert_tower(net, state):
 
 def convert_lins(path):
     import torch
-    state = torch.load(path, map_location="cpu")
+    # The bundled v0.1 heads are plain tensor state dicts; weights_only=True
+    # loads them without any pickle code execution (reference
+    # lpips/__init__.py:31-41 loads these same files).
+    state = torch.load(path, map_location="cpu", weights_only=True)
     lins = {}
     k = 0
     while f"lin{k}.model.1.weight" in state:
@@ -79,22 +82,26 @@ def main():
     p.add_argument("--lins", default=None,
                    help="Reference lpips/weights/v0.1/<net>.pth")
     p.add_argument("--tower", default=None,
-                   help="torchvision state_dict .pth for the tower")
+                   help="torchvision state_dict .pth for the tower, or "
+                        "'none' for a heads-only npz (the reference bundles "
+                        "only the calibration heads; towers come from "
+                        "torchvision, absent in a zero-egress env)")
     args = p.parse_args()
 
-    import torch
-
-    if args.tower:
-        tower_state = torch.load(args.tower, map_location="cpu")
+    if args.tower == "none":
+        out = {}
+    elif args.tower:
+        import torch
+        tower_state = torch.load(args.tower, map_location="cpu",
+                                 weights_only=True)
         if hasattr(tower_state, "state_dict"):
             tower_state = tower_state.state_dict()
+        out = convert_tower(args.net, tower_state)
     else:
         import torchvision.models as tvm
         model = {"alex": tvm.alexnet, "vgg": tvm.vgg16,
                  "squeeze": tvm.squeezenet1_1}[args.net](pretrained=True)
-        tower_state = model.state_dict()
-
-    out = convert_tower(args.net, tower_state)
+        out = convert_tower(args.net, model.state_dict())
     lins_path = args.lins or f"/root/reference/lpips/weights/v0.1/{args.net}.pth"
     out.update(convert_lins(lins_path))
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -30,14 +30,77 @@ def fold_bn(weight, bias, mean, var, eps=1e-5):
     return scale, shift
 
 
-def convert(path, out_path):
+class _Stub:
+    """Data-only stand-in for the reference's pickled SinGAN classes.
+
+    The Ds_*.pth files pickle live `SinGAN.models.{WDiscriminator,ConvBlock}`
+    instances (mdfloss.py:16-22). Instead of importing (= executing) the
+    reference's module, we register stub classes under the same qualified
+    names; unpickling then only restores their `__dict__` (nested torch
+    modules — Conv2d/BatchNorm2d/Sequential — resolve to real torch classes,
+    which is fine: torch is an installed library, not reference code)."""
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+
+def _load_ds_stubbed(path):
+    import types
+
     import torch
 
-    ds = torch.load(path, map_location="cpu")
+    injected = []
+    for name in ("SinGAN", "SinGAN.models"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            injected.append(name)
+    mod = sys.modules["SinGAN.models"]
+    patched = []
+    for cls_name in ("WDiscriminator", "ConvBlock"):
+        if not hasattr(mod, cls_name):
+            setattr(mod, cls_name, type(cls_name, (_Stub,), {}))
+            patched.append(cls_name)
+    try:
+        # weights_only must be False: the payload is module objects, not a
+        # plain state dict (torch>=2.6 flipped the default).
+        return torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        for cls_name in patched:
+            delattr(mod, cls_name)
+        for name in injected:
+            del sys.modules[name]
+
+
+def _named_tensors(obj, prefix=""):
+    """state_dict() replacement that works for both real nn.Modules and the
+    _Stub containers: walk _parameters/_buffers/_modules recursively."""
+    d = getattr(obj, "__dict__", {})
+    for k, v in {**(d.get("_parameters") or {}),
+                 **(d.get("_buffers") or {})}.items():
+        if v is not None:
+            yield prefix + k, v.detach().numpy()
+    for k, m in (d.get("_modules") or {}).items():
+        if m is not None:
+            yield from _named_tensors(m, prefix + k + ".")
+
+
+def _conv_padding(obj, path):
+    """Padding of the Conv2d at dotted `path` (e.g. 'head.conv')."""
+    for part in path.split("."):
+        obj = (getattr(obj, "__dict__", {}).get("_modules") or {})[part]
+    pad = obj.__dict__.get("padding", 0)
+    return int(pad[0] if isinstance(pad, (tuple, list)) else pad)
+
+
+def convert(path, out_path):
+    ds = _load_ds_stubbed(path)
     out = {}
+    paddings = []
     for i, d in enumerate(ds):
-        sd = d.state_dict() if hasattr(d, "state_dict") else d
+        sd = dict(_named_tensors(d)) if not isinstance(d, dict) else d
         sd = {k: np.asarray(v) for k, v in sd.items()}
+        if not isinstance(d, dict):
+            paddings.append(_conv_padding(d, "head.conv"))
         out[f"d{i}_head_w"] = _hwio(sd["head.conv.weight"])
         out[f"d{i}_head_b"] = np.asarray(sd["head.conv.bias"], np.float32)
         out[f"d{i}_head_bn_scale"], out[f"d{i}_head_bn_shift"] = fold_bn(
@@ -56,12 +119,19 @@ def convert(path, out_path):
             j += 1
         out[f"d{i}_tail_w"] = _hwio(sd["tail.weight"])
         out[f"d{i}_tail_b"] = np.asarray(sd["tail.bias"], np.float32)
+    if paddings:
+        assert len(set(paddings)) == 1, f"mixed paddings {paddings}"
+        out["padding"] = np.int32(paddings[0])
     np.savez(out_path, **out)
-    print(f"wrote {out_path}: {len(ds)} discriminators, {len(out)} arrays")
+    print(f"wrote {out_path}: {len(ds)} discriminators, {len(out)} arrays, "
+          f"padding={out.get('padding', 'n/a')}")
 
 
-def load_mdf_params(path):
-    """Load converted .npz into the losses.mdf params structure."""
+def load_mdf_params(path, with_padding=False):
+    """Load converted .npz into the losses.mdf params structure.
+
+    With `with_padding=True`, also return the Conv2d padding recorded at
+    conversion time (0 when absent, matching SinGAN's padd_size default)."""
     import jax.numpy as jnp
 
     data = np.load(path)
@@ -85,6 +155,8 @@ def load_mdf_params(path):
         d["tail_b"] = jnp.asarray(data[f"d{i}_tail_b"])
         ds.append(d)
         i += 1
+    if with_padding:
+        return ds, int(data["padding"]) if "padding" in data else 0
     return ds
 
 
