@@ -155,7 +155,8 @@ def main(argv=None):
     if args.multihost or args.coordinator:
         from morphganformer_tpu.parallel.launch import initialize_distributed
         idx = initialize_distributed(args.coordinator, args.num_processes,
-                                     args.process_id)
+                                     args.process_id,
+                                     requested=args.multihost)
         print(f"multihost: process {idx} up")
 
     from morphganformer_tpu.training.loop import (

@@ -31,10 +31,13 @@ class AsyncSnapshotter:
 
     def save(self, path: str, state: Any) -> None:
         """Start an async save of `state` to `path`/orbax (non-blocking;
-        waits for any previous save first so at most one is in flight)."""
+        waits for any previous save first so at most one is in flight).
+        Collective: on multi-host every process must call this."""
+        import orbax.checkpoint as ocp
+
         self._ckpt.wait_until_finished()
         self._ckpt.save(os.path.abspath(os.path.join(path, "orbax")),
-                        state, force=True)
+                        args=ocp.args.StandardSave(state), force=True)
 
     def wait(self) -> None:
         self._ckpt.wait_until_finished()

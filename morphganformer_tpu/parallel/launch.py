@@ -22,18 +22,23 @@ import jax
 
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> int:
+                           process_id: Optional[int] = None,
+                           requested: bool = False) -> int:
     """Initialize multi-host JAX and return this process's index.
 
-    With no arguments, relies on the TPU environment's auto-detection
-    (the standard path on Cloud TPU pods); explicit arguments support
+    `requested=True` (cli/train.py --multihost) forces the call even with no
+    explicit coordinator/num_processes: on a Cloud TPU pod
+    `jax.distributed.initialize()` auto-detects the rendezvous, and a bare
+    `--multihost` silently training num_hosts independent single-host runs
+    would be a correctness bug (ADVICE r2 high). Explicit arguments support
     manual rendezvous (reference run_network.py:372-379's file:// init
     becomes a coordinator address). Safe to call when already initialized
-    or single-process (num_processes=1): both are no-ops beyond returning
-    the process index.
+    or single-process (num_processes=1 without `requested`): both are
+    no-ops beyond returning the process index.
     """
     already = jax.distributed.is_initialized()
-    if not already and (coordinator or num_processes not in (None, 1)
+    if not already and (requested or coordinator
+                       or num_processes not in (None, 1)
                        or os.environ.get("MGT_MULTIHOST") == "1"):
         jax.distributed.initialize(
             coordinator_address=coordinator,

@@ -43,7 +43,11 @@ class ProjectionConfig:
     truncation_psi: float = 0.7
     weight_decay: float = 1e-4
     n_mean_latent: int = 10000
-    chunk: int = 250          # scan length per host round-trip (progress/saves)
+    # Noise-window size AND, when a progress callback is passed, the scan
+    # length per host round-trip. Without a callback the whole run is one
+    # scan call, but the per-step noise sequence is identical either way
+    # (noise keys are split per chunk-sized window, not per scan call).
+    chunk: int = 250
     w_plus: bool = False      # optimize full [k, num_ws, w_dim] instead of z
 
 
@@ -227,6 +231,22 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
                               latent_std, carry, steps_slice, noise_seq)
 
     losses, comps_hist = [], []
+    # Per-step noise is derived per cfg.chunk-sized WINDOW regardless of how
+    # execution is chunked (ADVICE r2: progress vs non-progress runs of the
+    # same config/seed must produce identical latents) — the execution chunk
+    # below only affects host sync cadence, never the noise sequence.
+    n_windows = max(1, math.ceil(cfg.steps / cfg.chunk))
+    rng, *win_keys = jax.random.split(rng, n_windows + 1)
+
+    def noise_for(lo, hi):
+        parts = []
+        for wi in range(lo // cfg.chunk, math.ceil(hi / cfg.chunk)):
+            wlo = wi * cfg.chunk
+            whi = min(cfg.steps, wlo + cfg.chunk)
+            part = jax.random.normal(win_keys[wi], (whi - wlo, *latent.shape))
+            parts.append(part[max(0, lo - wlo):hi - wlo])
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
     # Without a progress callback there is no reason to come back to the
     # host between chunks — run the whole thing as one scan call.
     chunk = cfg.chunk if progress is not None else cfg.steps
@@ -237,8 +257,7 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
         if hi <= lo:
             break
         idx = jnp.arange(lo, hi)
-        rng, sub = jax.random.split(rng)
-        noise_seq = jax.random.normal(sub, (hi - lo, *latent.shape))
+        noise_seq = noise_for(lo, hi)
         carry, (chunk_losses, chunk_comps) = run_chunk(carry, idx, noise_seq)
         losses.append(chunk_losses)
         comps_hist.append(chunk_comps)

@@ -155,35 +155,51 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
     tick_start = time.time()
     start_time = time.time()
 
+    last_snap_kimg = [-1]
+
     def maybe_snapshot(force=False):
+        # Multi-host note (ADVICE r2): Orbax saves are COLLECTIVE — every
+        # process must enter snapshotter.save. The skip decision therefore
+        # uses host-consistent state (the kimg counter, identical on all
+        # processes); the filesystem-existence check is only valid
+        # single-host, where it additionally protects resumed runs.
         kimg = int(jax.device_get(state["cur_nimg"])) // 1000
         snap_dir = os.path.join(l_cfg.run_dir, f"network-snapshot-{kimg:06d}")
-        if os.path.exists(snap_dir) and not force:
-            return
-        gs_vars = {"params": state["gs_params"]}
-        if state.get("gs_stats"):
-            gs_vars["moving_stats"] = state["gs_stats"]
-        if "buffers" in state["g"]:
-            gs_vars["buffers"] = state["g"]["buffers"]
-        save_generator(snap_dir, g_cfg, {"params": state["g"]["params"],
-                                         **{k: v for k, v in state["g"].items()
-                                            if k != "params"}}, role="G")
-        save_generator(snap_dir, g_cfg, gs_vars, role="Gs")
-        save_discriminator(snap_dir, d_cfg, {"params": state["d"]["params"]})
+        if not force:
+            if kimg == last_snap_kimg[0]:
+                return snap_dir if os.path.exists(snap_dir) else None
+            if jax.process_count() == 1 and os.path.exists(snap_dir):
+                return
+        last_snap_kimg[0] = kimg
+        main = jax.process_index() == 0
+        if main:
+            gs_vars = {"params": state["gs_params"]}
+            if state.get("gs_stats"):
+                gs_vars["moving_stats"] = state["gs_stats"]
+            if "buffers" in state["g"]:
+                gs_vars["buffers"] = state["g"]["buffers"]
+            save_generator(snap_dir, g_cfg,
+                           {"params": state["g"]["params"],
+                            **{k: v for k, v in state["g"].items()
+                               if k != "params"}}, role="G")
+            save_generator(snap_dir, g_cfg, gs_vars, role="Gs")
+            save_discriminator(snap_dir, d_cfg,
+                               {"params": state["d"]["params"]})
         if snapshotter is not None:
-            # Async: device->host serialization overlaps the next ticks
-            # (SURVEY.md §5.4 rebuild note: Orbax with async save).
+            # Async + collective: device->host serialization overlaps the
+            # next ticks (SURVEY.md §5.4 rebuild note: Orbax async save).
             snapshotter.save(snap_dir, state)
-        else:
+        elif main:
             save_train_state(os.path.join(snap_dir, "train_state.msgpack"),
                              state)
-        # Retention GC.
-        snaps = sorted(glob.glob(os.path.join(l_cfg.run_dir,
-                                              "network-snapshot-*")),
-                       key=_snapshot_kimg)
-        for old in snaps[:-l_cfg.last_snapshots]:
-            import shutil
-            shutil.rmtree(old, ignore_errors=True)
+        if main:
+            # Retention GC.
+            snaps = sorted(glob.glob(os.path.join(l_cfg.run_dir,
+                                                  "network-snapshot-*")),
+                           key=_snapshot_kimg)
+            for old in snaps[:-l_cfg.last_snapshots]:
+                import shutil
+                shutil.rmtree(old, ignore_errors=True)
         return snap_dir
 
     def _gs_vars():
@@ -286,17 +302,19 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
                        "Timing/total_sec": now - start_time})
             collector.reset()
             tick_start = now
-            if jax.process_index() == 0:
-                if tick % l_cfg.img_snapshot_ticks == 0:
-                    save_visualizations()
-                if tick % l_cfg.snapshot_ticks == 0:
-                    snap = maybe_snapshot()
+            if jax.process_index() == 0 and tick % l_cfg.img_snapshot_ticks == 0:
+                save_visualizations()
+            if tick % l_cfg.snapshot_ticks == 0:
+                # All processes enter (Orbax saves are collective); only
+                # process 0 writes the msgpack/arch/eval products.
+                snap = maybe_snapshot()
+                if jax.process_index() == 0:
                     evaluate(snapshot_dir=snap)
             if max_ticks is not None and ticks_done >= max_ticks:
                 break
 
+    snap = maybe_snapshot(force=True)
     if jax.process_index() == 0:
-        snap = maybe_snapshot(force=True)
         evaluate(snapshot_dir=snap)
     if snapshotter is not None:
         snapshotter.wait()

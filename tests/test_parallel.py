@@ -133,3 +133,69 @@ print("MULTIHOST-OK")
                          text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "MULTIHOST-OK" in out.stdout
+
+
+def test_initialize_distributed_two_process_rendezvous():
+    """The REAL multi-host rendezvous (VERDICT r2 #6): two separate
+    processes meet at an explicit coordinator via
+    jax.distributed.initialize on CPU. Each must see the union device set
+    (process_count 2, global device_count 2, local 1) and is_main_process()
+    must gate exactly one of them; a cross-process psum proves collectives
+    work over the rendezvous (reference run_network.py:372-379's
+    multi-process init_process_group equivalent)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    code = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {root!r})
+from morphganformer_tpu.parallel.launch import (
+    initialize_distributed, is_main_process)
+pid = int(sys.argv[1])
+idx = initialize_distributed("localhost:{port}", num_processes=2,
+                             process_id=pid)
+assert idx == pid
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 2, jax.devices()        # union device set
+assert jax.local_device_count() == 1
+assert is_main_process() == (pid == 0)
+# Cross-process collective: global sum over a process-sharded array.
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+mesh = Mesh(jax.devices(), ("data",))
+local = jnp.full((1,), float(pid + 1))
+arr = jax.make_array_from_single_device_arrays(
+    (2,), NamedSharding(mesh, P("data")),
+    [jax.device_put(local, jax.local_devices()[0])])
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+assert float(total) == 3.0, float(total)
+print(f"RENDEZVOUS-OK p{{pid}} main={{is_main_process()}}")
+""".format(root=os.path.join(os.path.dirname(__file__), ".."), port=port)
+
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(i)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {i} failed:\n{err[-2000:]}"
+    assert "RENDEZVOUS-OK p0 main=True" in outs[0][1]
+    assert "RENDEZVOUS-OK p1 main=False" in outs[1][1]

@@ -109,6 +109,32 @@ def test_batched_projection_per_image_best():
         assert mse == pytest.approx(float(res.per_image_loss[i]), rel=1e-3)
 
 
+def test_projection_independent_of_progress_callback():
+    """Identical config/seed must yield identical latents whether or not a
+    progress callback chunks the execution (ADVICE r2: noise windows are
+    keyed per cfg.chunk, not per scan call)."""
+    cfg = small_cfg()
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    z_true = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.k, cfg.z_dim))
+    target = model.apply(variables, z_true, truncation_psi=0.7,
+                         noise_mode="const")
+    mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(1),
+                             n_mean_latent=256)
+    pcfg = ProjectionConfig(steps=60, chunk=25, lr=0.05)
+    loss_fn = build_loss_stack({"mse": 1.0})
+    res_plain = project(model, variables, target, loss_fn, pcfg, mean, std,
+                        rng=jax.random.PRNGKey(2))
+    calls = []
+    res_prog = project(model, variables, target, loss_fn, pcfg, mean, std,
+                       rng=jax.random.PRNGKey(2),
+                       progress=lambda s, l, b: calls.append(s))
+    assert calls == [25, 50, 60]
+    np.testing.assert_array_equal(np.asarray(res_plain.latent),
+                                  np.asarray(res_prog.latent))
+    np.testing.assert_allclose(np.asarray(res_plain.loss_history),
+                               np.asarray(res_prog.loss_history), rtol=1e-6)
+
+
 def test_projection_converges_in_bfloat16():
     """The performance configuration (bf16 synthesis) still descends."""
     import dataclasses
