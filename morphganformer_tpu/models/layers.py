@@ -167,10 +167,16 @@ class Conv2dLayer(nn.Module):
         if self.packed:
             # Packed-pipeline skip branch: unmodulated 1x1 conv + FIR up2
             # as one lane-packed pallas pass; the (linear, no-bias) BiasAct
-            # reduces to the gain factor.
-            from morphganformer_tpu.ops.pallas_conv import fused_packed_upconv2
+            # reduces to the gain factor. Cin > 128 (the b256 block) runs
+            # the channel-split variant on the pixel NHWC input.
+            from morphganformer_tpu.ops.pallas_conv import (
+                fused_packed_upconv2, fused_packed_upconv2_c256)
             assert (self.up, self.down, k) == (2, 1, 1) and not self.use_bias \
                 and self.act == "linear"
+            if self.in_channels > 128:
+                return fused_packed_upconv2_c256(
+                    x, (w * coef).astype(jnp.float32), None, f, None, None,
+                    self.gain, 1.0, False, False)
             return fused_packed_upconv2(
                 x, (w * coef).astype(jnp.float32), None, f, None, None,
                 self.gain, 1.0, False, False)

@@ -62,17 +62,32 @@ def packed_block_eligible(cfg: GANformerConfig, res: int,
         return False
     if jax.default_backend() != "tpu":
         return False
+    return packed_structural_ok(cfg, res, noise_mode)
+
+
+def packed_structural_ok(cfg: GANformerConfig, res: int,
+                         noise_mode: str) -> bool:
+    """Structural part of the packed gate (no env/backend checks) — the
+    SINGLE definition of which blocks/noise modes the packed kernels
+    support. Parity tests force the packed path through this predicate so
+    the tested gate cannot drift from production (ADVICE r2: a test-local
+    copy that omitted 'random' made the random-noise parity test vacuous)."""
     in_ch = cfg.channels(res // 2)
     out_ch = cfg.channels(res)
     g = (res // 2) * in_ch // 128
-    return (cfg.architecture == "resnet" and cfg.style
+    base = (cfg.architecture == "resnet" and cfg.style
             and cfg.act == "lrelu" and res > 4
             and not cfg.use_attention(res)
-            and noise_mode in ("const", "none", "random")
-            and in_ch <= 128 and 128 % in_ch == 0
-            and out_ch * 2 == in_ch
-            and (res // 2) * in_ch % 128 == 0
-            and g % 8 == 0)
+            and noise_mode in ("const", "none", "random"))
+    lane_ok = (in_ch <= 128 and 128 % in_ch == 0
+               and out_ch * 2 == in_ch
+               and (res // 2) * in_ch % 128 == 0
+               and g % 8 == 0)
+    # b256 channel-split: Cin = 256 > 128 lanes runs as four quarter
+    # kernels + lane merge (ops/pallas_conv.py fused_packed_upconv2_c256);
+    # each half needs G_half = res//2 groups, 8-aligned.
+    split_ok = (in_ch == 256 and out_ch == 128 and (res // 2) % 8 == 0)
+    return base and (lane_ok or split_ok)
 
 
 class SynthesisLayer(nn.Module):
@@ -97,7 +112,12 @@ class SynthesisLayer(nn.Module):
         assert noise_mode in ("random", "const", "none")
         k = self.kernel_size
         in_res = self.out_res // self.up
-        if self.packed:
+        if self.packed and self.in_channels > 128:
+            # Channel-split packed block (b256): input stays pixel NHWC;
+            # the split kernels slice 128-lane halves themselves.
+            assert x.shape[1:] == (in_res, in_res, self.in_channels), \
+                f"expected [B,{in_res},{in_res},{self.in_channels}], got {x.shape}"
+        elif self.packed:
             g_groups = in_res * self.in_channels // 128
             assert x.shape[1:] == (in_res, g_groups, 128), \
                 f"expected packed [B,{in_res},{g_groups},128], got {x.shape}"
@@ -120,7 +140,7 @@ class SynthesisLayer(nn.Module):
         # lane-packed [B, H, G, 128] representation.
         from morphganformer_tpu.ops.pallas_conv import (
             fused_modconv3x3_lrelu, fused_packed_upconv2,
-            fused_synth_conv_eligible)
+            fused_packed_upconv2_c256, fused_synth_conv_eligible)
         use_fused = (
             cfg.style and self.up == 1 and k == 3 and not self.use_transformer
             and not self.packed
@@ -162,7 +182,10 @@ class SynthesisLayer(nn.Module):
                 alpha = 1.0
                 act_gain = 1.0
             w_full = (w * w_gain).astype(jnp.float32)
-            if self.packed and self.up == 2:
+            if self.packed and self.up == 2 and self.in_channels > 128:
+                x = fused_packed_upconv2_c256(x, w_full, styles, f, noise, b,
+                                              act_gain, alpha, True, False)
+            elif self.packed and self.up == 2:
                 x = fused_packed_upconv2(x, w_full, styles, f, noise, b,
                                          act_gain, alpha, True, False)
             elif self.packed:
@@ -309,6 +332,10 @@ class SynthesisBlock(nn.Module):
                 const = self.param("const", nn.initializers.normal(stddev=1.0),
                                    (res, res, out_channels))
                 x = jnp.tile(const[None], (batch, 1, 1, 1))
+        elif (packed or packed_in) and in_channels > 128:
+            # Channel-split packed block (b256): the input stays pixel NHWC
+            # [B, res/2, res/2, 256]; conv0/skip slice 128-lane halves.
+            assert x.shape[1:] == (res // 2, res // 2, in_channels)
         elif packed or packed_in:
             g_in = (res // 2) * in_channels // 128
             if packed and not packed_in:

@@ -1226,3 +1226,78 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
 
 fused_packed_upconv2.defvjp(_packed_upconv_fwd, _packed_upconv_bwd,
                             symbolic_zeros=True)
+
+
+# ---------------------------------------------------------------------------
+# b256 extension (VERDICT r2 #4): 2x-up conv with Cin = 256 > 128 lanes.
+#
+# The 128-lane packed kernels cannot hold a 256-channel pixel in one lane
+# group, so the conv is CHANNEL-SPLIT into four quarter kernels
+# w[ih*128:(ih+1)*128, oh*64:(oh+1)*64] — each a legal (Cin=128, Cout=64,
+# P=1, Q=2) packed up-conv — accumulated linearly per output half, followed
+# by ONE lane-merge relayout and an XLA-fused epilogue (demod x, noise,
+# bias, lrelu). The merged layout (1 pixel x 128 out-channels per group)
+# is plain NHWC, which is exactly what the next block's packed entry
+# consumes, so the whole >=256^2 tail stays a single packed chain.
+# Gradients compose automatically: the quarter calls carry the packed
+# custom VJPs (exact down-conv adjoints); slicing/merge/epilogue are
+# differentiable XLA ops. Replaces the reference's upfirdn2d.cu path
+# (upfirdn2d.cu:90 small-kernel specializations) for the b256 block.
+# ---------------------------------------------------------------------------
+
+
+def _merge_half_outputs(y0, y1):
+    """Merge two half-channel packed up-conv outputs into NHWC.
+
+    Each half: [N, H, G, 128] with group g = pixels (2g, 2g+1) x 64
+    channels of its half (lane = q*64 + c). Output: [N, H, 2G, 128] with
+    group p = pixel p, lane = h*64 + c — i.e. standard NHWC with C=128."""
+    n, h, g, lanes = y0.shape
+    y = jnp.stack([y0, y1], axis=3)                 # [N,H,G,2(h),128]
+    y = y.reshape(n, h, g, 2, 2, 64)                # [...,h,q,c]
+    y = y.transpose(0, 1, 2, 4, 3, 5)               # [...,q,h,c]
+    return y.reshape(n, h, 2 * g, 128)
+
+
+def fused_packed_upconv2_c256(x, w, styles, f, noise, bias, gain, alpha,
+                              demodulate, flip_weight):
+    """2x-up modulated conv + FIR + demod + noise + bias + lrelu for
+    Cin=256 -> Cout=128 (the b256 block), via the channel-split scheme
+    above. x: PIXEL NHWC [N, H, W, 256]; returns NHWC [N, 2H, 2W, 128]
+    (identical to the packed [N, 2H, G=2W, 128] layout).
+
+    styles: [N, 256] or None (unmodulated skip); noise: [2H, 2W] or
+    [N, 2H, 2W] pre-scaled; bias: [128] or None."""
+    n, h, width, cin = x.shape
+    kh, kw, wc, cout = w.shape
+    assert cin == 256 and wc == 256 and cout == 128, (x.shape, w.shape)
+    s = styles if styles is not None else jnp.ones((n, cin), jnp.float32)
+    d, _ = _demod_coef(w, s, demodulate)
+
+    halves = []
+    for oh in range(2):
+        acc = None
+        for ih in range(2):
+            x_h = x[..., ih * 128:(ih + 1) * 128]   # [N,H,W,128] = packed P=1
+            w_q = w[:, :, ih * 128:(ih + 1) * 128, oh * 64:(oh + 1) * 64]
+            s_h = None if styles is None else styles[:, ih * 128:(ih + 1) * 128]
+            part = fused_packed_upconv2(x_h, w_q, s_h, f, None, None,
+                                        1.0, 1.0, False, flip_weight)
+            acc = part if acc is None else acc + part
+        halves.append(acc)
+    y = _merge_half_outputs(halves[0], halves[1])   # [N, 2H, 2W, 128] linear
+
+    # Epilogue — one fused XLA elementwise pass over the merged tensor.
+    y32 = y.astype(jnp.float32)
+    if demodulate:
+        y32 = y32 * d[:, None, None, :]
+    if noise is not None:
+        nz = noise.astype(jnp.float32)
+        y32 = y32 + (nz[..., None] if nz.ndim == 3 else nz[None, :, :, None])
+    if bias is not None:
+        y32 = y32 + bias.astype(jnp.float32)[None, None, None, :]
+    if alpha != 1.0:
+        y32 = jnp.where(y32 >= 0, y32, y32 * alpha)
+    if gain != 1.0:
+        y32 = y32 * gain
+    return y32.astype(x.dtype)
