@@ -69,7 +69,7 @@ def test_project_init_latent_edit_mode(ckpt_dir, tmp_path):
 
     gen_dir = str(tmp_path / "gen")
     G.run(ckpt_dir, gen_dir, images_num=1, truncation_psi=0.7, ratio=1.0)
-    w0 = np.random.RandomState(0).randn(5, 8).astype(np.float32)
+    w0 = np.random.RandomState(0).randn(4, 8).astype(np.float32)
     save_latent_mat(str(tmp_path / "w0.mat"), w0)
     out = str(tmp_path / "proj2")
     args = P.build_parser().parse_args([
@@ -77,7 +77,7 @@ def test_project_init_latent_edit_mode(ckpt_dir, tmp_path):
         "--path_to_gen", out, "--step", "30", "--chunk", "30",
         "--n_mean_latent", "128", "--init-latent", str(tmp_path / "w0.mat")])
     res = P.run(args)
-    assert res.latent.shape == (1, 5, 8)
+    assert res.latent.shape == (1, 4, 8)
 
 
 def test_merge_cli(ckpt_dir, tmp_path):
@@ -85,8 +85,8 @@ def test_merge_cli(ckpt_dir, tmp_path):
     from morphganformer_tpu.morph import save_latent_mat
 
     rng = np.random.RandomState(0)
-    save_latent_mat(str(tmp_path / "a.mat"), rng.randn(5, 8).astype(np.float32))
-    save_latent_mat(str(tmp_path / "b.mat"), rng.randn(5, 8).astype(np.float32))
+    save_latent_mat(str(tmp_path / "a.mat"), rng.randn(4, 8).astype(np.float32))
+    save_latent_mat(str(tmp_path / "b.mat"), rng.randn(4, 8).astype(np.float32))
     out = str(tmp_path / "merged")
     argv = sys.argv
     sys.argv = ["merge.py", "--model", ckpt_dir, "--latents",
@@ -105,8 +105,8 @@ def test_demorph_latent_mode(ckpt_dir, tmp_path):
         load_latent_mat, morph_latents, save_latent_mat)
 
     rng = np.random.RandomState(1)
-    w1 = rng.randn(5, 8).astype(np.float32)
-    w2 = rng.randn(5, 8).astype(np.float32)
+    w1 = rng.randn(4, 8).astype(np.float32)
+    w2 = rng.randn(4, 8).astype(np.float32)
     morph = morph_latents(w1, w2)
     save_latent_mat(str(tmp_path / "m.mat"), morph)
     save_latent_mat(str(tmp_path / "a.mat"), w1)

@@ -72,8 +72,8 @@ def test_heads_only_npz_loads_with_placeholder_tower(heads_npz):
         params.pop("tower_source")
         loss = make_lpips_loss(params, net)
         rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
-        y = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+        x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1)
+        y = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1)
         val = float(loss(x, y))
         assert np.isfinite(val) and val > 0
         assert float(loss(x, x)) == pytest.approx(0.0, abs=1e-6)

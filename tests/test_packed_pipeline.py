@@ -96,6 +96,7 @@ def test_packed_generator_matches_unpacked(force_packed, monkeypatch,
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_packed_generator_grads_match(force_packed, monkeypatch,
                                       model_and_vars):
     cfg, model, variables = model_and_vars
@@ -114,6 +115,7 @@ def test_packed_generator_grads_match(force_packed, monkeypatch,
                                rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_training_grads_match(force_packed, monkeypatch,
                                      model_and_vars):
     """Weight gradients through the packed path (training pattern)."""
@@ -142,6 +144,7 @@ def test_packed_training_grads_match(force_packed, monkeypatch,
                                    rtol=5e-3, atol=1e-5, err_msg=ks)
 
 
+@pytest.mark.slow
 def test_packed_random_noise_matches_unpacked(force_packed, monkeypatch,
                                               model_and_vars):
     """Training path: per-sample random noise flows through the packed
@@ -218,6 +221,7 @@ def test_split256_generator_matches_unpacked(force_packed, monkeypatch,
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_split256_grads_match(force_packed, monkeypatch,
                               split_model_and_vars):
     """Latent AND weight gradients through the channel-split packed block

@@ -57,6 +57,7 @@ def loop_run(data_dir, tmp_path_factory):
     return run_dir, l_cfg, state
 
 
+@pytest.mark.slow
 def test_training_loop_ticks_snapshots_resume(data_dir, loop_run):
     g_cfg, d_cfg, t_cfg = _cfgs()
     run_dir, l_cfg, state = loop_run
@@ -102,6 +103,7 @@ def test_snapshot_loads_as_generator_checkpoint(data_dir, loop_run):
     assert bool(jnp.all(jnp.isfinite(img)))
 
 
+@pytest.mark.slow
 def test_orbax_snapshot_backend_roundtrip(data_dir, tmp_path):
     """Async Orbax snapshots: a 1-tick run saves via AsyncCheckpointer and
     a resumed run restores the full train state from the orbax directory

@@ -21,8 +21,8 @@ def test_sample_grid(bundle, tmp_path):
     path = str(tmp_path / "grid.png")
     grid = visualize.sample_grid(model, variables, cfg, num=4, path=path)
     assert isinstance(grid, Image.Image)
-    assert grid.size == (64, 64)  # 2x2 grid of 32px tiles
-    assert Image.open(path).size == (64, 64)
+    assert grid.size == (32, 32)  # 2x2 grid of 16px tiles
+    assert Image.open(path).size == (32, 32)
 
 
 def test_interpolation_grid(bundle, tmp_path):
@@ -30,18 +30,18 @@ def test_interpolation_grid(bundle, tmp_path):
     grid = visualize.interpolation_grid(model, variables, cfg, steps=4,
                                         space="z",
                                         path=str(tmp_path / "interp.png"))
-    assert grid.size == (4 * 32, 32)
+    assert grid.size == (4 * 16, 16)
     # Single-component interpolation only varies one component.
     grid2 = visualize.interpolation_grid(model, variables, cfg, steps=3,
                                          space="w", component=0)
-    assert grid2.size == (3 * 32, 32)
+    assert grid2.size == (3 * 16, 16)
 
 
 def test_style_mixing_table(bundle):
     cfg, model, variables = bundle
     grid = visualize.style_mixing_table(model, variables, cfg, num_rows=2,
                                         num_cols=2, cutoff=2)
-    assert grid.size == (2 * 32, 2 * 32)
+    assert grid.size == (2 * 16, 2 * 16)
 
 
 def test_noise_variance_map(bundle):
@@ -55,14 +55,14 @@ def test_noise_variance_map(bundle):
         if any(getattr(p, "key", None) == "noise_strength" for p in path)
         else v, variables)
     pil = visualize.noise_variance_map(model, variables2, cfg, samples=4)
-    assert pil.size == (32, 32)
+    assert pil.size == (16, 16)
 
 
 def test_attention_blends(bundle, tmp_path):
     cfg, model, variables = bundle
     blends = visualize.attention_blends(model, variables, cfg, num=2,
                                         out_dir=str(tmp_path))
-    assert blends.shape == (2, 32, 32, 3)
+    assert blends.shape == (2, 16, 16, 3)
     import os
     assert os.path.exists(tmp_path / "attention_0.png")
     assert os.path.exists(tmp_path / "sample_1.png")
