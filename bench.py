@@ -56,54 +56,81 @@ def _emit(obj):
     print(json.dumps(obj), flush=True)
 
 
-def bench_projection_steps(steps=1000):
+def _synthetic_target(batch, res, seed=11):
+    """Deterministic smooth target image(s) in [-1, 1]. The projection step
+    rate does not depend on what the target depicts, and synthesizing it
+    host-side removes an entire whole-generator forward executable from the
+    bench path (which, as a jit CLOSURE over the params, embedded every
+    weight as an XLA constant — a ~0.5 GB executable and minutes of
+    compile for zero measurement value)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    small = rng.rand(batch, 32, 32, 3).astype(jnp.float32) * 2 - 1
+    img = jax.image.resize(jnp.asarray(small), (batch, res, res, 3),
+                           method="linear")
+    return img
+
+
+def _projection_rate(batch, steps, warm_runs=1):
+    """steps/sec of the jitted projection scan at the given batch, via the
+    SAME module-level jit the production engine uses (_run_chunk_jit:
+    params/target are traced arguments, not embedded constants)."""
     from morphganformer_tpu.losses.stack import build_loss_stack
     from morphganformer_tpu.models import ffhq1024_config, init_generator
     from morphganformer_tpu.projection.engine import (
-        ProjectionConfig, latent_stats, make_projection_step)
+        ProjectionConfig, _make_opt, _run_chunk_jit, latent_stats)
 
     cfg = dataclasses.replace(ffhq1024_config(), dtype="bfloat16")
-    model, variables = init_generator(cfg, seed=0, batch=1)
-    _log("generator initialized")
-    z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))
-    target = jax.jit(
-        lambda zz: model.apply(variables, zz, truncation_psi=0.7,
-                               noise_mode="const"))(z)
-    float(target[0, 0, 0, 0])
-    _log("target generated (forward compile done)")
+    model, variables = init_generator(cfg, seed=0, batch=batch)
+    _log(f"generator initialized (batch {batch})")
+    target = _synthetic_target(batch, cfg.img_resolution)
 
-    pcfg = ProjectionConfig(steps=1000)
+    pcfg = ProjectionConfig(steps=steps, chunk=steps)
     mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(1),
-                             n_mean_latent=10000)
+                             n_mean_latent=10000 if batch == 1 else 2048)
     loss_fn = build_loss_stack({"mse": 1.0})
-    opt, step_fn = make_projection_step(model, variables, loss_fn, pcfg,
-                                        std, target)
-    latent = jnp.tile(mean[None], (1, 1, 1))
-    carry = (latent, opt.init(latent), jnp.full((1,), 1e30, jnp.float32),
+    latent = jnp.tile(mean[None], (batch, 1, 1))
+    carry = (latent, _make_opt(pcfg).init(latent),
+             jnp.full((batch,), 1e30, jnp.float32),
              latent,                            # best-latent tracker
-             jnp.zeros((1,), jnp.int32),        # per-image best_step tracker
+             jnp.zeros((batch,), jnp.int32),    # per-image best_step tracker
              jax.random.PRNGKey(2))
 
-    @jax.jit
     def run(carry, idx, noise_seq):
-        # Return only the per-step losses: on remote-dispatch backends jit
-        # outputs are shipped back eagerly, so returning the carry would bill
-        # a transfer against the measurement.
-        return jax.lax.scan(step_fn, carry, (idx, noise_seq))[1][0]
+        # Returns (carry, (losses, comps)); only fetch a scalar loss so no
+        # image-sized transfer is billed against the measurement.
+        return _run_chunk_jit(model, loss_fn, pcfg, variables, target,
+                              std, carry, idx, noise_seq)
 
     noise = jax.random.normal(jax.random.PRNGKey(3),
                               (steps, *latent.shape))
     # One full-length scan per call: a fixed per-call dispatch cost of
     # O(100 ms) on this platform amortizes to < 0.5 ms/step at 1000 steps.
     t0 = time.perf_counter()
-    losses = run(carry, jnp.arange(0, steps), noise)   # compile + warm
+    _, (losses, _) = run(carry, jnp.arange(0, steps), noise)  # compile+warm
     float(losses[-1])
-    _log(f"projection scan compile+warm done ({time.perf_counter()-t0:.1f}s)")
+    _log(f"projection scan (batch {batch}) compile+warm done "
+         f"({time.perf_counter()-t0:.1f}s)")
     t0 = time.perf_counter()
-    losses = run(carry, jnp.arange(steps, 2 * steps), noise)
+    _, (losses, _) = run(carry, jnp.arange(steps, 2 * steps), noise)
     final_loss = float(losses[-1])
     dt = time.perf_counter() - t0
     return steps / dt, final_loss
+
+
+def bench_projection_steps(steps=1000):
+    return _projection_rate(1, steps)
+
+
+def bench_morph_pair(steps=250):
+    """Tertiary anchor (ROADMAP lever 3): the morph pipeline's unit of work
+    — BOTH identities of a pair projected in one batched scan (the engine
+    tracks per-image bests independently), as pair-steps/sec. The reference
+    projects the pair sequentially (projection_example_v2_percept_morph.py
+    :356-357); batching doubles arithmetic intensity at batch 2."""
+    rate, _ = _projection_rate(2, steps)
+    return rate
 
 
 def bench_generation(batch=4, iters=25):
@@ -117,18 +144,20 @@ def bench_generation(batch=4, iters=25):
     model, variables = init_generator(cfg, seed=0, batch=batch)
     z = jax.random.normal(jax.random.PRNGKey(0), (batch, cfg.k, cfg.z_dim))
 
+    # Params/latents are traced ARGUMENTS (not closure constants) so the
+    # compiled loop stays small and cache-friendly.
     @jax.jit
-    def loop(n):
+    def loop(variables, z, n):
         def body(i, acc):
             img = model.apply(variables, z + i * 1e-6, truncation_psi=0.7,
                               noise_mode="const")
             return acc + img[0, 0, 0, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    float(loop(2))
+    float(loop(variables, z, 2))
     _log("generation compile+warm done")
     t0 = time.perf_counter()
-    float(loop(iters))
+    float(loop(variables, z, iters))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -147,8 +176,10 @@ def main():
     # anchor can compile/run (VERDICT r2 weak #3).
     _emit(headline)
 
-    remaining = _DEADLINE - (time.monotonic() - _T_START)
-    if remaining > 60.0:
+    def budget_left():
+        return _DEADLINE - (time.monotonic() - _T_START)
+
+    if budget_left() > 60.0:
         try:
             imgs_per_sec = bench_generation()
             headline["detail"]["gen_1024_imgs_per_sec"] = round(imgs_per_sec, 1)
@@ -158,7 +189,19 @@ def main():
         except Exception as e:  # a failed secondary must not eat the headline
             _log(f"generation anchor failed: {e!r}")
     else:
-        _log(f"skipping generation anchor ({remaining:.0f}s budget left)")
+        _log(f"skipping generation anchor ({budget_left():.0f}s budget left)")
+
+    if budget_left() > 60.0:
+        try:
+            pair_steps = bench_morph_pair()
+            headline["detail"]["morph_pair_steps_per_sec"] = round(pair_steps, 2)
+            _emit({"metric": "morph_pair_projection_steps_per_sec",
+                   "value": round(pair_steps, 2), "unit": "pair-steps/s",
+                   "vs_baseline": round(headline["vs_baseline"], 3)})
+        except Exception as e:
+            _log(f"morph-pair anchor failed: {e!r}")
+    else:
+        _log(f"skipping morph-pair anchor ({budget_left():.0f}s budget left)")
 
     # Final line repeats the headline so last-line parsers agree with
     # first-line parsers.

@@ -32,6 +32,10 @@ class MappingConfig:
     ltnt_gate: bool = False
     normalize_global: bool = True
     use_pos: bool = True
+    # Run the global + component MLP chains as one batched computation
+    # (identical math and param tree; applies when the chains are
+    # structurally identical: resnet, no labels, not shared).
+    fused: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,8 +23,11 @@ from morphganformer_tpu.models.layers import (
     FullyConnected,
     ResnetLayer,
     normalize_l2,
+    runtime_coef,
+    weight_init,
 )
 from morphganformer_tpu.models.transformer import TransformerLayer
+from morphganformer_tpu.ops import bias_act
 
 
 class MLP(nn.Module):
@@ -78,6 +81,128 @@ class MLP(nn.Module):
         return x
 
 
+class _FCParams(nn.Module):
+    """Declares FullyConnected's param tree (weight/bias) without computing.
+
+    Used by the fused mapping path so the params live at exactly the same
+    paths (and with the same initializers) as an actually-called
+    FullyConnected — converted checkpoints and the unfused path share one
+    variables dict."""
+    features: int
+    lrmul: float = 1.0
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w = self.param("weight", weight_init(self.lrmul),
+                       (in_features, self.features))
+        b = self.param("bias", lambda k, s: jnp.full(s, 0.0, jnp.float32),
+                       (self.features,))
+        return w, b
+
+
+class _ResnetParams(nn.Module):
+    """Param tree of a ResnetLayer (fc0 + fc1), declaration only."""
+    channels: int
+    lrmul: float = 1.0
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        p0 = _FCParams(self.channels, self.lrmul, name="fc0")(in_features)
+        p1 = _FCParams(self.channels, self.lrmul, name="fc1")(self.channels)
+        return p0, p1
+
+
+class _MLPParams(nn.Module):
+    """Param tree of a resnet MLP (l{i} + out_layer), declaration only."""
+    channels: tuple
+    lrmul: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        n = len(self.channels) // 2
+        layers = []
+        for idx in range(n):
+            assert self.channels[idx] == self.channels[idx + 1]
+            layers.append(_ResnetParams(self.channels[idx + 1], self.lrmul,
+                                        name=f"l{idx}")(self.channels[idx]))
+        out = _FCParams(self.channels[-1], self.lrmul,
+                        name="out_layer")(self.channels[n])
+        return layers, out
+
+
+def _dual_fc(x, k, wc, bc, wg, bg, lrmul, act):
+    """One batched FC over [B, k, D] where rows 0..k-2 use the component
+    weights (wc, bc) and row k-1 uses the global weights (wg, bg).
+
+    Replaces two separate small matmuls (component MLP + global MLP) with a
+    single [k]-batched einsum: at mapping sizes (k=17, D=32) every op in the
+    chain is latency-bound on TPU, so halving the sequential op count is the
+    win (VERDICT r2 #8; reference networks.py:833-942 runs the two chains as
+    separate submodules)."""
+    coef = runtime_coef(wc.shape[0], 1.0, lrmul)
+    w_rows = jnp.concatenate(
+        [jnp.broadcast_to(wc[None], (k - 1, *wc.shape)), wg[None]], axis=0)
+    b_rows = jnp.concatenate(
+        [jnp.broadcast_to(bc[None], (k - 1, bc.shape[0])), bg[None]], axis=0)
+    y = jnp.einsum("bki,kio->bko", x, w_rows * coef)
+    y = y + (b_rows * lrmul)[None]
+    if act == "linear":
+        return y
+    return bias_act(y, act=act)
+
+
+class _FusedMLP(nn.Module):
+    """Component-side MLP that also carries the global chain as its k-th row.
+
+    Owns the component MLP's param tree (l{i}/fc0,fc1, out_layer, sa{i}) at
+    the same paths the unfused `MLP` uses; the global MLP's weights are
+    passed in (declared by a sibling `_MLPParams` named "global_mlp").
+    Computes both chains with one `_dual_fc` per FC instead of two separate
+    submodule chains — mathematically identical, half the sequential ops."""
+    channels: tuple
+    lrmul: float = 1.0
+    act: str = "lrelu"
+    sa: bool = False
+    sa_to_len: int = 0
+    sa_gate: bool = False
+    num_heads: int = 1
+    attention_dropout: float = 0.12
+
+    @nn.compact
+    def __call__(self, x, global_weights, pos=None, mask=None,
+                 train: bool = False):
+        g_layers, g_out = global_weights
+        k = x.shape[1]  # components + 1 global (last row)
+        n = len(self.channels) // 2
+        for idx in range(n):
+            assert self.channels[idx] == self.channels[idx + 1]
+            skip = x  # pre-attention skip, exactly as MLP (skip = x before sa)
+            if self.sa:
+                in_dim = self.channels[idx]
+                sa = TransformerLayer(
+                    dim=in_dim, pos_dim=in_dim, from_len=self.sa_to_len,
+                    to_len=self.sa_to_len, from_dim=in_dim, to_dim=in_dim,
+                    from_gate=self.sa_gate, to_gate=self.sa_gate,
+                    num_heads=self.num_heads,
+                    attention_dropout=self.attention_dropout,
+                    name=f"sa{idx}",
+                )
+                comp, _, _ = sa(x[:, : k - 1], x[:, : k - 1], from_pos=pos,
+                                to_pos=pos, att_mask=mask, train=train)
+                x = jnp.concatenate([comp, x[:, k - 1:]], axis=1)
+            (wc0, bc0), (wc1, bc1) = _ResnetParams(
+                self.channels[idx + 1], self.lrmul,
+                name=f"l{idx}")(self.channels[idx])
+            (wg0, bg0), (wg1, bg1) = g_layers[idx]
+            h = _dual_fc(x, k, wc0, bc0, wg0, bg0, self.lrmul, self.act)
+            h = _dual_fc(h, k, wc1, bc1, wg1, bg1, self.lrmul, "linear")
+            x = jax.nn.leaky_relu(h + skip, 0.2)
+        wco, bco = _FCParams(self.channels[-1], self.lrmul,
+                             name="out_layer")(self.channels[n])
+        wgo, bgo = g_out
+        return _dual_fc(x, k, wco, bco, wgo, bgo, self.lrmul, self.act)
+
+
 class MappingNetwork(nn.Module):
     """Reference MappingNetwork (networks.py:833-942)."""
     cfg: GANformerConfig
@@ -113,19 +238,39 @@ class MappingNetwork(nn.Module):
             y = normalize_l2(y)
             x = jnp.concatenate([x, y[:, None, :]], axis=-1)
 
-        # Global component MLP (reference networks.py:884,918).
-        x = MLP(tuple([z_dim + embed_dim] + layers), act=m.act, resnet=m.resnet,
-                lrmul=m.lrmul, name="global_mlp")(x, train=train)
+        # The fused path runs the global + component chains as one batched
+        # computation (VERDICT r2 #8); eligible whenever the two MLPs are
+        # structurally identical. Param trees are identical either way.
+        fused = (m.fused and cfg.transformer and cfg.c_dim == 0
+                 and m.resnet and not m.shared)
 
-        if cfg.transformer:
-            p = MLP(tuple([z_dim] + layers), act=m.act, resnet=m.resnet,
-                    lrmul=m.lrmul, sa=m.ltnt2ltnt and not m.shared,
-                    pool=m.shared, sa_to_len=k - 1, sa_gate=m.ltnt_gate,
-                    num_heads=cfg.attention.num_heads,
-                    attention_dropout=cfg.attention.dropout,
-                    name="mlp")(z_comp, pos=pos if m.use_pos else None,
-                                mask=mask, train=train)
-            x = jnp.concatenate([p, x], axis=1)  # components first, global last
+        if fused:
+            g_weights = _MLPParams(tuple([z_dim] + layers), lrmul=m.lrmul,
+                                   name="global_mlp")()
+            x_all = jnp.concatenate([z_comp, x], axis=1)  # comps first
+            x = _FusedMLP(tuple([z_dim] + layers), lrmul=m.lrmul, act=m.act,
+                          sa=m.ltnt2ltnt, sa_to_len=k - 1,
+                          sa_gate=m.ltnt_gate,
+                          num_heads=cfg.attention.num_heads,
+                          attention_dropout=cfg.attention.dropout,
+                          name="mlp")(x_all, g_weights,
+                                      pos=pos if m.use_pos else None,
+                                      mask=mask, train=train)
+        else:
+            # Global component MLP (reference networks.py:884,918).
+            x = MLP(tuple([z_dim + embed_dim] + layers), act=m.act,
+                    resnet=m.resnet, lrmul=m.lrmul,
+                    name="global_mlp")(x, train=train)
+
+            if cfg.transformer:
+                p = MLP(tuple([z_dim] + layers), act=m.act, resnet=m.resnet,
+                        lrmul=m.lrmul, sa=m.ltnt2ltnt and not m.shared,
+                        pool=m.shared, sa_to_len=k - 1, sa_gate=m.ltnt_gate,
+                        num_heads=cfg.attention.num_heads,
+                        attention_dropout=cfg.attention.dropout,
+                        name="mlp")(z_comp, pos=pos if m.use_pos else None,
+                                    mask=mask, train=train)
+                x = jnp.concatenate([p, x], axis=1)  # components, global last
 
         # Track moving average of w (reference networks.py:925-927).
         w_avg = self.variable("moving_stats", "w_avg",

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Warm and verify the committed benchmark compile cache.
+
+The driver's bench window cannot absorb the ~20-minute remote Mosaic/XLA
+compile of the packed 1024^2 projection scan, so bench.py reads a
+persistent compilation cache from the committed .bench_cache/ directory.
+This tool (re)builds that cache on the real chip and proves a fresh
+process hits it:
+
+  python tools/warm_bench_cache.py          # warm (full bench run)
+  python tools/warm_bench_cache.py --verify # fresh-process timing report
+
+Run with NOTHING else using the TPU: the axon relay wedges under
+concurrent clients (see ROADMAP.md infrastructure notes).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def run_bench(tag):
+    t0 = time.time()
+    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True)
+    dt = time.time() - t0
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    print(f"[{tag}] rc={p.returncode} wall={dt:.0f}s json_lines={len(lines)}")
+    for l in lines:
+        print(f"[{tag}] {l}")
+    for l in p.stderr.splitlines():
+        if "[bench" in l:
+            print(f"[{tag}] {l}")
+    return p.returncode, dt, lines
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verify", action="store_true",
+                    help="fresh-process run against the existing cache")
+    ap.add_argument("--fresh", action="store_true",
+                    help="delete the cache first (full re-warm)")
+    args = ap.parse_args()
+
+    if args.fresh:
+        import shutil
+        shutil.rmtree(CACHE, ignore_errors=True)
+        os.makedirs(CACHE, exist_ok=True)
+        print("cache cleared")
+
+    rc, dt, lines = run_bench("verify" if args.verify else "warm")
+    if args.verify:
+        ok = rc == 0 and lines and dt < 420
+        print(f"verify {'OK' if ok else 'FAILED'}: cold-with-cache "
+              f"wall {dt:.0f}s (target < 420s for the driver window)")
+        sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
