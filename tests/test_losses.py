@@ -95,14 +95,19 @@ def test_lpips_architecture_forward_and_grad():
     img1 = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)) * 2 - 1
     for net in ("alex", "vgg", "squeeze"):
         params = random_lpips_params(net)
-        d = lpips_distance(params, img0, img1, net=net)
+        # jit: eager tower dispatch is ~10x slower on the 1-CPU box and the
+        # persistent compile cache makes warm suite runs skip the compile.
+        dist = jax.jit(lambda p, a, b, n=net: lpips_distance(p, a, b, net=n))
+        d = dist(params, img0, img1)
         assert d.shape == (2,)
         assert np.all(np.asarray(d) >= 0)
-        d_same = lpips_distance(params, img0, img0, net=net)
+        d_same = dist(params, img0, img0)
         np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-5)
 
-    loss_fn = make_lpips_loss(random_lpips_params("alex"), "alex")
-    g = jax.grad(lambda x: loss_fn(x, img1))(img0)
+    alex_params = random_lpips_params("alex")
+    g = jax.jit(jax.grad(
+        lambda x, p, b: make_lpips_loss(p, "alex")(x, b)))(
+            img0, alex_params, img1)
     assert float(jnp.abs(g).sum()) > 0
 
 
@@ -128,16 +133,16 @@ def test_iresnet_embedding_and_identity_loss():
     params = random_iresnet_params("iresnet18")
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.rand(2, 112, 112, 3).astype(np.float32)) * 2 - 1
-    emb = iresnet_embed(params, x)
+    emb = jax.jit(iresnet_embed)(params, x)
     assert emb.shape == (2, 512)
     assert np.all(np.isfinite(np.asarray(emb)))
 
-    loss_fn = make_identity_loss(params)
+    loss_fn = jax.jit(lambda p, a, b: make_identity_loss(p)(a, b))
     y = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)) * 2 - 1
     x64 = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)) * 2 - 1
-    assert float(loss_fn(x64, x64)) == pytest.approx(0.0, abs=1e-6)
-    assert float(loss_fn(x64, y)) > 0
-    sim = cosine_similarity(params, x64, x64)
+    assert float(loss_fn(params, x64, x64)) == pytest.approx(0.0, abs=1e-6)
+    assert float(loss_fn(params, x64, y)) > 0
+    sim = jax.jit(cosine_similarity)(params, x64, x64)
     np.testing.assert_allclose(np.asarray(sim), 1.0, atol=1e-4)
 
 
@@ -148,14 +153,17 @@ def test_facenet_architecture():
     params = random_facenet_params()
     rng = np.random.RandomState(6)
     x = jnp.asarray(rng.rand(2, 160, 160, 3).astype(np.float32)) * 2 - 1
-    e = facenet_embed(params, x)
+    e = jax.jit(facenet_embed)(params, x)
     assert e.shape == (2, 512)
     np.testing.assert_allclose(np.asarray(jnp.linalg.norm(e, axis=-1)), 1.0,
                                rtol=1e-5)
-    loss = make_facenet_loss(params)
+    # Params stay traced args (a jitted closure would embed them as XLA
+    # constants -> huge executable, cache-unfriendly).
+    loss = jax.jit(lambda p, a, b: make_facenet_loss(p)(a, b))
     y = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32)) * 2 - 1
-    assert float(loss(y, y)) == pytest.approx(0.0, abs=1e-6)
-    g = jax.grad(lambda a: loss(a, -y))(y)
+    assert float(loss(params, y, y)) == pytest.approx(0.0, abs=1e-6)
+    g = jax.jit(jax.grad(lambda a, p, b: make_facenet_loss(p)(a, b)))(
+        y, params, -y)
     assert float(jnp.abs(g).sum()) > 0
 
 

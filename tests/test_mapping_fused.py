@@ -104,8 +104,10 @@ def test_full_generator_fused_vs_unfused():
     cfg = _cfg(fused=True)
     model, variables = init_generator(cfg, seed=0, batch=1)
     z = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.k, cfg.z_dim))
-    img_f = model.apply(variables, z, noise_mode="const")
+    img_f = jax.jit(lambda v, zz: model.apply(v, zz, noise_mode="const"))(
+        variables, z)
     cfg_u = _cfg(fused=False)
     model_u, _ = init_generator(cfg_u, seed=0, batch=1)
-    img_u = model_u.apply(variables, z, noise_mode="const")
+    img_u = jax.jit(lambda v, zz: model_u.apply(v, zz, noise_mode="const"))(
+        variables, z)
     assert jnp.max(jnp.abs(img_f - img_u)) < 1e-4

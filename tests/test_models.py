@@ -222,11 +222,13 @@ def test_gradients_flow_to_latent(gen_and_vars):
     cfg, model, variables = gen_and_vars
     z = jax.random.normal(jax.random.PRNGKey(13), (1, cfg.k, cfg.z_dim))
 
-    def loss(zz):
-        img = model.apply(variables, zz, noise_mode="none")
+    def loss(zz, v):
+        img = model.apply(v, zz, noise_mode="none")
         return jnp.mean(img ** 2)
 
-    g = jax.grad(loss)(z)
+    # jit (params traced): eager grad of the whole generator is the
+    # slowest call in this file on the 1-CPU box.
+    g = jax.jit(jax.grad(loss))(z, variables)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
 
@@ -234,11 +236,11 @@ def test_gradients_flow_to_latent(gen_and_vars):
 def test_w_avg_updates_in_train_mode(gen_and_vars):
     cfg, model, variables = gen_and_vars
     z = jax.random.normal(jax.random.PRNGKey(14), (4, cfg.k, cfg.z_dim))
-    _, mutated = model.apply(
-        variables, z, train=True, noise_mode="none",
+    _, mutated = jax.jit(lambda v, zz: model.apply(
+        v, zz, train=True, noise_mode="none",
         rngs={"noise": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
               "dropout": jax.random.PRNGKey(2)},
-        mutable=["moving_stats"])
+        mutable=["moving_stats"]))(variables, z)
     w_avg = mutated["moving_stats"]["mapping"]["w_avg"]
     assert float(jnp.abs(w_avg).sum()) > 0  # moved off the zero init
 
@@ -256,7 +258,7 @@ def test_discriminator_forward_and_grads():
     def loss(v):
         return jnp.mean(model.apply(v, img) ** 2)
 
-    g = jax.grad(loss)(variables)
+    g = jax.jit(jax.grad(loss))(variables)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
