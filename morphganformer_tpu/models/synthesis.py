@@ -107,7 +107,12 @@ class SynthesisLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, att_vars=None, pos=None, mask=None,
-                 noise_mode="random", train: bool = False):
+                 noise_mode="random", train: bool = False, resid=None):
+        """`resid` (or None): a skip-branch tensor shaped like this layer's
+        output, added after the activation — the resnet block's former
+        explicit `y_skip + x`. On the fused same-res pallas path the add
+        happens in-kernel (one output-res read+write pass cheaper); every
+        other path falls back to an explicit add before returning."""
         cfg = self.cfg
         assert noise_mode in ("random", "const", "none")
         k = self.kernel_size
@@ -185,15 +190,19 @@ class SynthesisLayer(nn.Module):
             if self.packed and self.up == 2 and self.in_channels > 128:
                 x = fused_packed_upconv2_c256(x, w_full, styles, f, noise, b,
                                               act_gain, alpha, True, False)
+                if resid is not None:
+                    x = x + resid.astype(x.dtype)
             elif self.packed and self.up == 2:
                 x = fused_packed_upconv2(x, w_full, styles, f, noise, b,
                                          act_gain, alpha, True, False)
+                if resid is not None:
+                    x = x + resid.astype(x.dtype)
             elif self.packed:
                 x = fused_modconv3x3_lrelu(x, w_full, styles, noise, b,
-                                           act_gain, alpha, True, True)
+                                           resid, act_gain, alpha, True, True)
             else:
                 x = fused_modconv3x3_lrelu(x, w_full, styles, noise, b,
-                                           act_gain, alpha, True)
+                                           resid, act_gain, alpha, True)
             return x, None, att_vars
 
         x = modulated_conv2d(
@@ -247,6 +256,8 @@ class SynthesisLayer(nn.Module):
         if self.use_bias:
             x = BiasAct(self.out_channels, act=cfg.act, gain=self.gain,
                         name="biasAct")(x)
+        if resid is not None:
+            x = x + resid.astype(x.dtype)
         return x, att_map, att_vars
 
 
@@ -348,13 +359,13 @@ class SynthesisBlock(nn.Module):
             assert x.shape[1:] == (res // 2, res // 2, in_channels)
         x = x.astype(dtype)
 
-        def conv(name, idx, in_ch, up, gain):
+        def conv(name, idx, in_ch, up, gain, resid=None):
             layer = SynthesisLayer(
                 cfg=cfg, in_channels=in_ch, out_channels=out_channels,
                 out_res=res, up=up, gain=gain, use_transformer=use_tr,
                 local_noise=cfg.local_noise, packed=packed, name=name)
             return layer(x, ws[:, :, idx], att_vars=att_vars, pos=pos, mask=mask,
-                         noise_mode=noise_mode, train=train)
+                         noise_mode=noise_mode, train=train, resid=resid)
 
         if stem:
             x, am, att_vars = conv("conv1", next(w_i), out_channels, 1, 1.0)
@@ -366,9 +377,12 @@ class SynthesisBlock(nn.Module):
                                  name="skip")(x)
             x, am, att_vars = conv("conv0", next(w_i), in_channels, 2, 1.0)
             att_maps.append(am)
-            x, am, att_vars = conv("conv1", next(w_i), out_channels, 1, get_gain(arch))
+            # The skip-branch add rides conv1's fused epilogue when conv1
+            # takes the pallas path (explicit add otherwise) — see
+            # SynthesisLayer's `resid`.
+            x, am, att_vars = conv("conv1", next(w_i), out_channels, 1,
+                                   get_gain(arch), resid=y_skip)
             att_maps.append(am)
-            x = y_skip.astype(x.dtype) + x
         else:
             x, am, att_vars = conv("conv0", next(w_i), in_channels, 2, 1.0)
             att_maps.append(am)

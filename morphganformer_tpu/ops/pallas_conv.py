@@ -7,19 +7,25 @@ conv whose HBM roofline is ~0.2 ms. This kernel keeps the input in HBM,
 DMAs each row tile (plus 1-row halo) into VMEM once, accumulates the 9 taps
 as MXU matmuls from VMEM, and writes the tile once.
 
-STATUS (round 2): the production path is the LANE-PACKED high-resolution
+STATUS (round 3): the production path is the LANE-PACKED high-resolution
 pipeline — every >=512^2 synthesis op (skip 1x1-up, conv0 2x-up, conv1,
 conv_last, torgb) runs on [N, H, G, 128] lane-packed tensors
 (G = W*C/128 pixel groups, resolution-invariant for this architecture):
 
   * fused_modconv3x3_lrelu — same-res modulated conv + demod + noise +
-    bias + lrelu, one VMEM-resident pass, in-kernel halo (no jnp.pad);
+    bias + lrelu + optional resnet-skip residual, one VMEM-resident pass,
+    in-kernel halo (no jnp.pad);
   * fused_packed_upconv2 — 2x-up modulated conv with the FIR composed in,
-    parity-blocked packed kernels; its backward dx is the exact adjoint
-    as a packed 6-row-window down-conv kernel;
+    parity-blocked packed kernels with static zero-block skip masks; its
+    backward dx is the exact adjoint as a packed 6-row-window down-conv
+    kernel (same masks);
   * both with symbolic-zeros custom VJPs that skip weight/noise/bias
-    cotangents when only the latent is differentiated (projection), and
-    lane-preserving two-stage reductions for dstyles/ddemod.
+    cotangents when only the latent is differentiated (projection). The
+    backward launches are themselves fused: the adjoint kernel's
+    per-channel scale slot carries the style (emitting dx = du*s
+    directly) and an in-kernel dot tap reduces the ds = sum x*du partials
+    from the f32 accumulator — no separate scale or reduction pass over
+    output-resolution tensors, and no bf16 round-trip of du.
 
 Why packed everywhere: profiling showed XLA assigns narrow-lane conv
 layouts (T(2,128)) to high-res NHWC C=32/64 tensors and pays a 64 MB
@@ -97,10 +103,24 @@ def _conv3x3_kernel(x_hbm, w_ref, o_ref, x_vmem, sems, *, tile_h, width):
 
 
 def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
-                             tile_h, wg, gain, alpha, use_noise, use_bias):
+                             tile_h, wg, gain, alpha, use_noise, use_bias,
+                             use_resid=False, use_dot=False):
     """Fused modulated-conv synthesis tail, packed space:
 
-        y = lrelu(d * conv3x3(x * s, w) + noise + bias) * gain
+        y = lrelu(d * conv3x3(x * s, w) + noise + bias) * gain [+ resid]
+
+    The optional residual is the resnet-block skip branch added in-kernel
+    (after the activation/gain, exactly where SynthesisBlock's explicit
+    `y_skip + x` add sat) — saving one full read+write pass over the
+    output-resolution tensor per block.
+
+    use_dot serves the custom-VJP backward: an extra input tile z (same
+    block shape as the output) and a second per-tile output
+    dot[b, i] = sum_pixels z * acc — the PRE-d-scale conv result. With the
+    d slot carrying the style vector this turns one kernel launch into
+    BOTH dx = conv(g*d, w^T) * s and the per-channel partials of
+    ds = sum x * conv(g*d, w^T), eliminating the separate dx-scale pass
+    and the x*du reduction pass over two output-res tensors.
 
     Double-buffered row-DMA pipeline over the UNPADDED packed input
     [N, H, Wg, PC] — the SAME-conv halo is assembled in VMEM (zero border
@@ -115,7 +135,13 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
         noise_ref, rest = rest[0], rest[1:]
     if use_bias:
         bias_ref, rest = rest[0], rest[1:]
-    o_ref, x_vmem, sems = rest
+    if use_resid:
+        resid_ref, rest = rest[0], rest[1:]
+    if use_dot:
+        dot_in_ref, rest = rest[0], rest[1:]
+        o_ref, dot_ref, x_vmem, sems = rest
+    else:
+        o_ref, x_vmem, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
@@ -187,6 +213,13 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
                 tile_h * wg, pc)
             acc = acc + jnp.dot(win, w_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
+    if use_dot:
+        z = dot_in_ref[0].reshape(tile_h * wg, po).astype(jnp.float32)
+        partial = jnp.sum(z * acc, axis=0)
+        # Mosaic needs >= 8 sublanes per output block: write the partial
+        # into row 0 of an 8-row block (rows 1-7 zero; the caller sums).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, po), 0)
+        dot_ref[0] = jnp.where(rows == 0, partial[None, :], 0.0)
     acc = acc * _row_select(d_ref, b)[None, :]
     y = acc.reshape(tile_h, wg, po)
     if use_noise:
@@ -198,6 +231,8 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
         y = jnp.where(y >= 0, y, y * alpha)
     if gain != 1.0:
         y = y * gain
+    if use_resid:
+        y = y + resid_ref[0].astype(jnp.float32)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -342,16 +377,24 @@ def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2):
     return 1
 
 
-def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha):
+def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
+                    resid_p=None, dot_with=None):
     """Run the packed fused modconv kernel. xp: packed [N,H,Wg,PC]
     (unpadded); kp: packed [3,3,PC,PO]; s_p [N,PC] (x dtype); d_p [N,PO]
-    f32; noise_p [H,Wg,PO] or None; bias_p [PO] f32 or None."""
+    f32; noise_p [H,Wg,PO] or None; bias_p [PO] f32 or None; resid_p
+    [N,H,Wg,PO] or None (resnet skip branch, added in-kernel); dot_with
+    [N,H,Wg,PO] or None — when given, also returns per-tile partials
+    dots[n, i, PO] of sum_pixels(dot_with * pre-d conv result) (backward
+    ds fusion; see the kernel docstring)."""
     n, h, wg, pc = xp.shape
     po = kp.shape[-1]
     use_noise = noise_p is not None
     use_bias = bias_p is not None
+    use_resid = resid_p is not None
+    use_dot = dot_with is not None
     wgp = 8 + (-(-(wg + 1) // 8) * 8)   # data at [8, wg+8) + right border
-    tile_h = _pick_tile_h_mod(h, pc, po, wg, use_noise,
+    tile_h = _pick_tile_h_mod(h, pc, po, wg,
+                              use_noise or use_resid or use_dot,
                               esize=xp.dtype.itemsize)
 
     in_specs = [
@@ -376,18 +419,40 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha):
         in_specs.append(pl.BlockSpec((1, po), lambda b, i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bias_p[None].astype(jnp.float32))
+    if use_resid:
+        in_specs.append(pl.BlockSpec((1, tile_h, wg, po),
+                                     lambda b, i: (b, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(resid_p)
+    if use_dot:
+        in_specs.append(pl.BlockSpec((1, tile_h, wg, po),
+                                     lambda b, i: (b, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dot_with)
+
+    n_i = h // tile_h
+    out_shape = jax.ShapeDtypeStruct((n, h, wg, po), xp.dtype)
+    out_specs = pl.BlockSpec((1, tile_h, wg, po), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if use_dot:
+        # 8 sublane rows per tile (partial in row 0) — sum over axis 1
+        # recovers the full reduction.
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 8 * n_i, po), jnp.float32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 8, po), lambda b, i: (b, i, 0),
+                                  memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         functools.partial(_modconv_epilogue_kernel, tile_h=tile_h, wg=wg,
                           gain=float(gain), alpha=float(alpha),
-                          use_noise=use_noise, use_bias=use_bias),
-        out_shape=jax.ShapeDtypeStruct((n, h, wg, po), xp.dtype),
-        grid=(n, h // tile_h),
+                          use_noise=use_noise, use_bias=use_bias,
+                          use_resid=use_resid, use_dot=use_dot),
+        out_shape=out_shape,
+        grid=(n, n_i),
         interpret=jax.default_backend() == "cpu",  # tests run interpreted
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile_h, wg, po),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 2, wgp, pc), xp.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),   # per slot: body/top/bottom
@@ -428,11 +493,15 @@ def _modconv_geometry(x, w, packed_io):
 
 
 def _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha, demodulate,
-                      packed_io=False):
+                      packed_io=False, resid=None):
     n, h, width, wg, pack, c, o = _modconv_geometry(x, w, packed_io)
     d, _ = _demod_coef(w, styles, demodulate)
 
     xp = x if packed_io else x.reshape(n, h, wg, pack * c)
+    resid_p = None
+    if resid is not None:
+        resid_p = (resid if packed_io
+                   else resid.reshape(n, h, wg, pack * o)).astype(x.dtype)
     kp = _pack_kernel(w.astype(x.dtype), pack)
     s_p = jnp.tile(styles.astype(x.dtype), (1, pack))
     d_p = jnp.tile(d, (1, pack))
@@ -447,16 +516,22 @@ def _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha, demodulate,
                 noise.reshape(h, wg, pack, 1), (h, wg, pack, o)
             ).reshape(h, wg, pack * o).astype(x.dtype)
     bias_p = jnp.tile(bias.astype(jnp.float32), pack) if bias is not None else None
-    y = _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha)
+    y = _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
+                        resid_p=resid_p)
     return (y if packed_io else y.reshape(n, h, width, o)), d
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def fused_modconv3x3_lrelu(x, w, styles, noise, bias, gain, alpha,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_modconv3x3_lrelu(x, w, styles, noise, bias, resid, gain, alpha,
                            demodulate=True, packed_io=False):
     """Fused modulated 3x3 SAME conv + demod + noise + bias + leaky_relu:
 
         y = lrelu(d * conv3x3(x * styles, w) + noise + bias, alpha) * gain
+            [+ resid]
+
+    `resid` (or None) is the resnet skip branch, added in-kernel after the
+    activation — exactly the block's former explicit `y_skip + x` add, one
+    output-res read+write pass cheaper.
 
     in one VMEM-resident lane-packed pallas pass (style scale, demod, noise
     broadcast and activation all applied in-kernel — no XLA fusion barrier).
@@ -477,7 +552,7 @@ def fused_modconv3x3_lrelu(x, w, styles, noise, bias, gain, alpha,
     [N, H, G, 128] representation — used by the packed >=512^2 pipeline to
     chain conv1 -> conv_last without relayouts."""
     y, _ = _modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha,
-                             demodulate, packed_io)
+                             demodulate, packed_io, resid=resid)
     return y
 
 
@@ -487,27 +562,42 @@ def _tok(flag):
     return () if flag else None
 
 
-def _modconv_fwd(x, w, styles, noise, bias, gain, alpha, demodulate,
+def _modconv_fwd(x, w, styles, noise, bias, resid, gain, alpha, demodulate,
                  packed_io):
     # symbolic_zeros=True: args are CustomVJPPrimal(value, perturbed).
     noise_v = None if noise is None else noise.value
     bias_v = None if bias is None else bias.value
+    resid_v = None if resid is None else resid.value
     y, d = _modconv_fwd_impl(x.value, w.value, styles.value, noise_v, bias_v,
-                             gain, alpha, demodulate, packed_io)
+                             gain, alpha, demodulate, packed_io,
+                             resid=resid_v)
     flags = (_tok(w.perturbed),
              _tok(noise is not None and noise.perturbed),
              _tok(bias is not None and bias.perturbed),
              _tok(styles.perturbed),
-             _tok(x.perturbed))
-    res = (x.value, w.value, styles.value, noise_v, bias_v, y, d, flags)
+             _tok(x.perturbed),
+             _tok(resid is not None and resid.perturbed))
+    res = (x.value, w.value, styles.value, noise_v, bias_v, resid_v, y, d,
+           flags)
     return y, res
 
 
 def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
-    x, w, styles, noise, bias, y, d, flags = res
-    w_p, noise_p, bias_p, styles_p, x_p = [f is not None for f in flags]
+    x, w, styles, noise, bias, resid, y, d, flags = res
+    w_p, noise_p, bias_p, styles_p, x_p, resid_p = [
+        f is not None for f in flags]
     n, h, width, wg, pack, c, o = _modconv_geometry(x, w, packed_io)
     f32 = jnp.float32
+
+    # The residual is added in-kernel AFTER the activation+gain, so its
+    # cotangent is g itself, and the saved y must be peeled back to the
+    # activation output before it can drive the lrelu mask / demod-chain
+    # recovery below. The subtract stays in y.dtype and fuses into the
+    # mask's producer chain.
+    dresid = None
+    if resid is not None:
+        dresid = g.astype(resid.dtype) if resid_p else jnp.zeros_like(resid)
+        y = y - resid.astype(y.dtype)
 
     def grouped(t, ch):
         """View a tensor (pixel or packed) as [N, H, Wg, pack, ch]."""
@@ -534,23 +624,28 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
 
     # dx/dstyles both come from the conv transpose w.r.t. u = x*styles:
     #   du = conv3x3(g*d, flip(w)^T);  dx = du*s;  ds[c] = sum_hw x*du.
-    # du runs through the same in-kernel-halo pallas pass (unit style/demod).
+    # One pallas launch produces BOTH: the kernel's per-output-channel d
+    # slot carries s (so it writes dx directly, no separate du*s pass) and
+    # its use_dot tap reduces sum_pixels(x * du) per tile from the f32
+    # accumulator (no separate x*du pass, and no bf16 du round-trip).
     dx = ds = None
     if x_p or styles_p:
         w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
         kp_t = _pack_kernel(w_t.astype(gd.dtype), pack)
         ones_s = jnp.ones((n, pack * o), gd.dtype)
-        ones_d = jnp.ones((n, pack * c), f32)
+        s_out = jnp.tile(styles.astype(f32), (1, pack))
         gd_pk = gd if packed_io else gd.reshape(n, h, wg, pack * o)
-        du_pk = _modconv_pallas(gd_pk, kp_t, ones_s, ones_d, None, None,
-                                1.0, 1.0)
-        du = du_pk if packed_io else du_pk.reshape(n, h, width, c)
-    s_bcast = (jnp.tile(styles, (1, pack))[:, None, None, :] if packed_io
-               else styles[:, None, None, :])
-    if x_p:
-        dx = (du * s_bcast.astype(du.dtype)).astype(x.dtype)
-    if styles_p:
-        ds = lane_reduce(x.astype(f32) * du.astype(f32), c)
+        if styles_p:
+            x_pk = x if packed_io else x.reshape(n, h, wg, pack * c)
+            dx_pk, dots = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None,
+                                          None, 1.0, 1.0, dot_with=x_pk)
+            ds = jnp.sum(jnp.sum(dots, axis=1).reshape(n, pack, c), axis=1)
+        else:
+            dx_pk = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None, None,
+                                    1.0, 1.0)
+        if x_p:
+            dx = (dx_pk if packed_io
+                  else dx_pk.reshape(n, h, width, c)).astype(x.dtype)
 
     # Demodulation chain: d = rsqrt(e), e = s^2 @ wsq. Needs
     # dd[n,o] = sum_hw g_pre * conv_out, with conv_out recovered from y.
@@ -620,7 +715,7 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
     return (dx if dx is not None else jnp.zeros_like(x),
             dw if dw is not None else jnp.zeros_like(w),
             ds.astype(styles.dtype) if ds is not None else jnp.zeros_like(styles),
-            dnoise, dbias)
+            dnoise, dbias, dresid)
 
 
 fused_modconv3x3_lrelu.defvjp(_modconv_fwd, _modconv_bwd, symbolic_zeros=True)
@@ -702,9 +797,15 @@ def pallas_conv_eligible(x_shape, w_shape, groups) -> bool:
 
 def _pack_upconv_kernel(kpix, pack_in, pack_out, p0):
     """Packed-domain block kernels for a 2x-up conv with composed pixel
-    kernel kpix [L, L, Cin, Cout]. Returns [2(parity), 3(dy), 3(gx),
-    P*Cin, Q*Cout]; row tap t_y = 2*(dy-1) + p0 - parity, column tap
-    t_x = 2*(P*(gx-1) + u - v//2) + p0 - (v%2)."""
+    kernel kpix [L, L, Cin, Cout]. Returns ([2(parity), 3(dy), 3(gx),
+    P*Cin, Q*Cout], nonzero-mask [2, 3, 3]); row tap t_y = 2*(dy-1) + p0
+    - parity, column tap t_x = 2*(P*(gx-1) + u - v//2) + p0 - (v%2).
+
+    The mask marks blocks whose every tap lands on the zero pad row — a
+    STATIC property of the tap geometry (kernel size L, pack, p0), not of
+    the weight values. The compute kernel skips those dots entirely: for
+    the 1x1-up resnet skip (L=4) about half the 18 block matmuls are
+    structurally zero; even the 3x3-up conv (L=6) drops one parity row."""
     import numpy as np
 
     L, _, cin, cout = kpix.shape
@@ -726,15 +827,19 @@ def _pack_upconv_kernel(kpix, pack_in, pack_out, p0):
     t_x = tap(2 * (P * (gx - 1) + u - v // 2) + p0 - (v % 2))
     t_y = np.broadcast_to(t_y, (2, 3, 3, P, Q))
     t_x = np.broadcast_to(t_x, (2, 3, 3, P, Q))
+    nonzero = tuple(tuple(tuple(bool(z) for z in row) for row in par)
+                    for par in np.logical_not(
+                        np.all((t_y == L) | (t_x == L), axis=(3, 4))))
     blk = kpad[t_y, t_x]                                   # [2,3,3,P,Q,ci,co]
     blk = blk.transpose(0, 1, 2, 3, 5, 4, 6)               # [2,3,3,P,ci,Q,co]
-    return blk.reshape(2, 3, 3, P * cin, Q * cout)
+    return blk.reshape(2, 3, 3, P * cin, Q * cout), nonzero
 
 
 def _pack_downconv_kernel(kpix, pack_in, pack_out, p0):
     """Adjoint (down) block kernels: dx[m] = sum_o K[2m - o + p0] g[o].
-    Returns [6(dr), 3(gx), Q*Cout, P*Cin]; row tap t_y = p0 + 2 - dr,
-    column tap t_x = 2u - v - Q*(gx-1) + p0."""
+    Returns ([6(dr), 3(gx), Q*Cout, P*Cin], nonzero-mask [6, 3]); row tap
+    t_y = p0 + 2 - dr, column tap t_x = 2u - v - Q*(gx-1) + p0. The mask
+    is the same static zero-block structure as _pack_upconv_kernel's."""
     import numpy as np
 
     L, _, cin, cout = kpix.shape
@@ -753,13 +858,16 @@ def _pack_downconv_kernel(kpix, pack_in, pack_out, p0):
     u = np.arange(P)[None, None, None, :]
     t_y = tap(np.broadcast_to(p0 + 2 - dr, (6, 3, Q, P)))
     t_x = tap(np.broadcast_to(2 * u - v - Q * (gx - 1) + p0, (6, 3, Q, P)))
+    nonzero = tuple(tuple(bool(z) for z in row) for row in np.logical_not(
+        np.all((t_y == L) | (t_x == L), axis=(2, 3))))
     blk = kpad[t_y, t_x]                                   # [6,3,Q,P,ci,co]
     blk = blk.transpose(0, 1, 2, 5, 3, 4)                  # [6,3,Q,co,P,ci]
-    return blk.reshape(6, 3, Q * cout, P * cin)
+    return blk.reshape(6, 3, Q * cout, P * cin), nonzero
 
 
 def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
-                          tile_out, wg, gain, alpha, use_noise, use_bias):
+                          tile_out, wg, gain, alpha, use_noise, use_bias,
+                          masks):
     """Packed 2x-up modulated conv + demod + noise + bias + lrelu. Output
     tile rows [r0, r0+tile_out) draw on input rows r0//2 - 1 .. r0//2 +
     tile_out//2 (+1 halo each side, same VMEM-halo scheme as
@@ -825,10 +933,12 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
 
     xs = x_vmem[slot] * _row_select(s_ref, b)[None, None, :]
     accs = []
-    for w_ref in (we_ref, wo_ref):
+    for w_ref, mask in zip((we_ref, wo_ref), masks):
         acc = jnp.zeros((tile_in * wg, po), jnp.float32)
         for dy in range(3):
             for dx in range(3):
+                if not mask[dy][dx]:
+                    continue  # block is structurally zero (pad-row taps)
                 win = xs[dy:dy + tile_in, 7 + dx:7 + dx + wg, :].reshape(
                     tile_in * wg, pc)
                 acc = acc + jnp.dot(win, w_ref[dy, dx],
@@ -849,11 +959,24 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def _packed_downconv_kernel(g_hbm, w_ref, o_ref, g_vmem, sems, *,
-                            tile_s, wg):
+def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
+                            use_scale=False, use_dot=False):
     """Adjoint of the packed up-conv: output tile rows [s0, s0+tile_s) at
     the INPUT resolution read gradient rows [2*s0-2, 2*s0+2*tile_s+2) with
-    a 2-row halo each side. w_ref: [6, 3, QO, PC]."""
+    a 2-row halo each side. w_ref: [6, 3, QO, PC].
+
+    use_scale multiplies the output by a per-(batch, channel) vector in
+    VMEM (the style s, turning the plain adjoint du into dx = du*s with no
+    extra pass); use_dot adds an input tile z and a per-tile output
+    dot[b, i] = sum_pixels z * acc over the PRE-scale f32 accumulator
+    (the ds = sum x*du reduction) — see _modconv_epilogue_kernel."""
+    if use_scale:
+        scale_ref, rest = rest[0], rest[1:]
+    if use_dot:
+        dot_in_ref, rest = rest[0], rest[1:]
+        o_ref, dot_ref, g_vmem, sems = rest
+    else:
+        o_ref, g_vmem, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
@@ -915,18 +1038,31 @@ def _packed_downconv_kernel(g_hbm, w_ref, o_ref, g_vmem, sems, *,
     acc = jnp.zeros((tile_s * wg, pc), jnp.float32)
     for dr in range(6):
         for gx in range(3):
+            if not mask[dr][gx]:
+                continue  # block is structurally zero (pad-row taps)
             win = g2[dr // 2:dr // 2 + tile_s, dr % 2,
                      7 + gx:7 + gx + wg, :].reshape(tile_s * wg, qo)
             acc = acc + jnp.dot(win, w_ref[dr, gx],
                                 preferred_element_type=jnp.float32)
+    if use_dot:
+        z = dot_in_ref[0].reshape(tile_s * wg, pc).astype(jnp.float32)
+        partial = jnp.sum(z * acc, axis=0)
+        # 8-sublane output block, partial in row 0 (see
+        # _modconv_epilogue_kernel's dot tap).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, pc), 0)
+        dot_ref[0] = jnp.where(rows == 0, partial[None, :], 0.0)
+    if use_scale:
+        acc = acc * _row_select(scale_ref, b)[None, :]
     o_ref[0] = acc.reshape(tile_s, wg, pc).astype(o_ref.dtype)
 
 
-def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha):
+def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
+                          masks=None):
     """Run the packed up-conv kernel. xp: [N, H_in, G, PC]; blk:
     [2, 3, 3, PC, QO] parity kernels; s_p [N, PC]; d_p [N, QO] f32;
-    noise_p [H_out, G, QO] or None; bias_p [QO] f32 or None.
-    Returns [N, 2*H_in, G, QO]."""
+    noise_p [H_out, G, QO] or None; bias_p [QO] f32 or None; masks:
+    static nonzero-block mask [2][3][3] from _pack_upconv_kernel (None =
+    treat every block as nonzero). Returns [N, 2*H_in, G, QO]."""
     n, h_in, wg, pc = xp.shape
     qo = blk.shape[-1]
     h_out = 2 * h_in
@@ -973,11 +1109,14 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha):
                                      memory_space=pltpu.VMEM))
         args.append(bias_p[None].astype(jnp.float32))
 
+    if masks is None:
+        masks = (((True,) * 3,) * 3,) * 2
+
     def kern(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest):
         _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
                               tile_out=tile_out, wg=wg, gain=float(gain),
                               alpha=float(alpha), use_noise=use_noise,
-                              use_bias=use_bias)
+                              use_bias=use_bias, masks=masks)
 
     return pl.pallas_call(
         kern,
@@ -995,13 +1134,20 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha):
     )(*args)
 
 
-def _packed_downconv_pallas(gp, kdown):
+def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None):
     """Adjoint of _packed_upconv_pallas. gp: [N, H_out, G, QO]; kdown:
-    [6, 3, QO, PC]. Returns [N, H_out//2, G, PC]."""
+    [6, 3, QO, PC]; mask: static nonzero-block mask [6][3] from
+    _pack_downconv_kernel; scale [N, PC] f32 or None (per-channel output
+    multiply in-kernel: du -> du*s); dot_with [N, H_in, G, PC] or None
+    (also return per-tile partials dots[n, i, PC] of
+    sum_pixels(dot_with * pre-scale adjoint) — the ds reduction).
+    Returns [N, H_out//2, G, PC] (plus dots when dot_with is given)."""
     n, h_out, wg, qo = gp.shape
     pc = kdown.shape[-1]
     h_in = h_out // 2
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
+    use_scale = scale is not None
+    use_dot = dot_with is not None
 
     es = gp.dtype.itemsize
     budget = 10 * 1024 * 1024
@@ -1010,29 +1156,54 @@ def _packed_downconv_pallas(gp, kdown):
         if h_in % t:
             continue
         need = (2 * (2 * t + 4) * wgp * qo * es + 2 * t * wg * pc * es
-                + t * wg * pc * 4 + (2 * t + 4) * wgp * qo * es)
+                + t * wg * pc * 4 + (2 * t + 4) * wgp * qo * es
+                + (2 * t * wg * pc * es if use_dot else 0))
         if need <= budget:
             tile_s = t
             break
 
+    if mask is None:
+        mask = ((True,) * 3,) * 6
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((6, 3, qo, pc), lambda b, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [gp, kdown]
+    if use_scale:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # [N, PC]
+        args.append(scale.astype(jnp.float32))
+    if use_dot:
+        in_specs.append(pl.BlockSpec((1, tile_s, wg, pc),
+                                     lambda b, i: (b, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dot_with)
+
+    n_i = h_in // tile_s
+    out_shape = jax.ShapeDtypeStruct((n, h_in, wg, pc), gp.dtype)
+    out_specs = pl.BlockSpec((1, tile_s, wg, pc), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if use_dot:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 8 * n_i, pc), jnp.float32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 8, pc), lambda b, i: (b, i, 0),
+                                  memory_space=pltpu.VMEM))
+
     return pl.pallas_call(
-        functools.partial(_packed_downconv_kernel, tile_s=tile_s, wg=wg),
-        out_shape=jax.ShapeDtypeStruct((n, h_in, wg, pc), gp.dtype),
-        grid=(n, h_in // tile_s),
+        functools.partial(_packed_downconv_kernel, tile_s=tile_s, wg=wg,
+                          mask=mask, use_scale=use_scale, use_dot=use_dot),
+        out_shape=out_shape,
+        grid=(n, n_i),
         interpret=jax.default_backend() == "cpu",
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((6, 3, qo, pc), lambda b, i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_s, wg, pc),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, 2 * tile_s + 4, wgp, qo), gp.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
-    )(gp, kdown)
+    )(*args)
 
 
 def _upconv_geometry(x_shape, w_shape, f):
@@ -1058,7 +1229,7 @@ def _packed_upconv_fwd_impl(x, w, styles, f, noise, bias, gain, alpha,
 
     kpix = _compose_kernel_fir(w.astype(jnp.float32), f, flip_weight, False,
                                gain=4.0)
-    blk = _pack_upconv_kernel(kpix.astype(x.dtype), P, Q, p0)
+    blk, blk_mask = _pack_upconv_kernel(kpix.astype(x.dtype), P, Q, p0)
     s_p = jnp.tile(s.astype(x.dtype), (1, P))
     d_p = jnp.tile(d, (1, Q))
     noise_p = None
@@ -1073,7 +1244,8 @@ def _packed_upconv_fwd_impl(x, w, styles, f, noise, bias, gain, alpha,
                 noise.reshape(h_out, wg, Q, 1), (h_out, wg, Q, cout)
             ).reshape(h_out, wg, Q * cout).astype(x.dtype)
     bias_p = jnp.tile(bias.astype(jnp.float32), Q) if bias is not None else None
-    y = _packed_upconv_pallas(x, blk, s_p, d_p, noise_p, bias_p, gain, alpha)
+    y = _packed_upconv_pallas(x, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
+                              masks=blk_mask)
     return y, d, kpix
 
 
@@ -1134,22 +1306,29 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
     d_p = jnp.tile(d, (1, Q))
     gd = g_pre * d_p[:, None, None, :].astype(g.dtype)
 
+    # One launch of the adjoint kernel yields BOTH dx (the in-kernel scale
+    # slot carries s) and the per-tile partials of ds = sum x*du (the
+    # in-kernel dot tap, reduced from the f32 accumulator — no bf16 du
+    # round-trip and no separate x*du pass). See _packed_downconv_kernel.
     dx = ds = None
-    if x_p or styles_p:
-        kdown = _pack_downconv_kernel(kpix.astype(g.dtype), P, Q, p0)
-        du = _packed_downconv_pallas(gd, kdown)               # [N,Hin,G,PC]
     s = styles if styles is not None else jnp.ones((n, cin), f32)
     s_p = jnp.tile(s.astype(f32), (1, P))
-    if x_p:
-        dx = (du.astype(f32) * s_p[:, None, None, :]).astype(x.dtype)
+    if x_p or styles_p:
+        kdown, kd_mask = _pack_downconv_kernel(kpix.astype(g.dtype), P, Q, p0)
+        if styles_p:
+            dxq, dots = _packed_downconv_pallas(gd, kdown, mask=kd_mask,
+                                                scale=s_p, dot_with=x)
+            ds = jnp.sum(jnp.sum(dots, axis=1).reshape(n, P, cin), axis=1)
+        else:
+            dxq = _packed_downconv_pallas(gd, kdown, mask=kd_mask, scale=s_p)
+        if x_p:
+            dx = dxq.astype(x.dtype)
+
     def lane_reduce(t, pk, ch):
         """sum over pixels -> [N, ch], lane-preserving first (see
         _modconv_bwd.lane_reduce)."""
         part = jnp.sum(t.reshape(n, -1, pk * ch), axis=1)
         return jnp.sum(part.reshape(n, pk, ch), axis=1)
-
-    if styles_p:
-        ds = lane_reduce(x.astype(f32) * du.astype(f32), P, cin)
 
     dwsq = None
     if demodulate and (styles_p or w_p):

@@ -52,7 +52,8 @@ def test_pallas_conv_grads_match_xla():
 from morphganformer_tpu.ops.pallas_conv import fused_modconv3x3_lrelu
 
 
-def _modconv_ref(x, w, styles, noise, bias, gain, alpha, demodulate=True):
+def _modconv_ref(x, w, styles, noise, bias, resid, gain, alpha,
+                 demodulate=True):
     """Unfused reference: scale-activations form of modulated conv + tail."""
     xs = x * styles[:, None, None, :]
     y = jax.lax.conv_general_dilated(
@@ -66,16 +67,22 @@ def _modconv_ref(x, w, styles, noise, bias, gain, alpha, demodulate=True):
         y = y + noise[None, :, :, None]
     if bias is not None:
         y = y + bias
-    return jnp.where(y >= 0, y, alpha * y) * gain
+    y = jnp.where(y >= 0, y, alpha * y) * gain
+    if resid is not None:
+        y = y + resid
+    return y
 
 
-@pytest.mark.parametrize("shape,co,use_noise,use_bias,gain,alpha,demod", [
-    ((2, 8, 8, 8), 8, True, True, 1.41, 0.2, True),
-    ((1, 16, 16, 4), 4, False, False, 1.0, 1.0, True),
-    ((1, 8, 16, 16), 8, True, False, 2.0, 0.2, False),
-])
-def test_fused_modconv_matches_unfused(shape, co, use_noise, use_bias, gain,
-                                       alpha, demod):
+@pytest.mark.parametrize(
+    "shape,co,use_noise,use_bias,use_resid,gain,alpha,demod", [
+        ((2, 8, 8, 8), 8, True, True, False, 1.41, 0.2, True),
+        ((1, 16, 16, 4), 4, False, False, False, 1.0, 1.0, True),
+        ((1, 8, 16, 16), 8, True, False, False, 2.0, 0.2, False),
+        ((2, 8, 8, 8), 8, True, True, True, 1.41, 0.2, True),
+        ((1, 16, 16, 4), 4, False, False, True, 1.0, 1.0, True),
+    ])
+def test_fused_modconv_matches_unfused(shape, co, use_noise, use_bias,
+                                       use_resid, gain, alpha, demod):
     rng = np.random.RandomState(0)
     n, h, wd, c = shape
     x = jnp.asarray(rng.randn(*shape).astype(np.float32))
@@ -85,9 +92,12 @@ def test_fused_modconv_matches_unfused(shape, co, use_noise, use_bias, gain,
              if use_noise else None)
     bias = (jnp.asarray(rng.randn(co).astype(np.float32)) * 0.1
             if use_bias else None)
+    resid = (jnp.asarray(rng.randn(n, h, wd, co).astype(np.float32))
+             if use_resid else None)
 
-    got = fused_modconv3x3_lrelu(x, w, s, noise, bias, gain, alpha, demod)
-    want = _modconv_ref(x, w, s, noise, bias, gain, alpha, demod)
+    got = fused_modconv3x3_lrelu(x, w, s, noise, bias, resid, gain, alpha,
+                                 demod)
+    want = _modconv_ref(x, w, s, noise, bias, resid, gain, alpha, demod)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
@@ -95,9 +105,9 @@ def test_fused_modconv_matches_unfused(shape, co, use_noise, use_bias, gain,
     # bias are closure constants -> the dw einsums must be skipped, which
     # this exercises via symbolic_zeros).
     f_p = lambda a, b: jnp.sum(jnp.sin(fused_modconv3x3_lrelu(
-        a, w, b, noise, bias, gain, alpha, demod)))
+        a, w, b, noise, bias, resid, gain, alpha, demod)))
     f_r = lambda a, b: jnp.sum(jnp.sin(_modconv_ref(
-        a, w, b, noise, bias, gain, alpha, demod)))
+        a, w, b, noise, bias, resid, gain, alpha, demod)))
     gp = jax.grad(f_p, argnums=(0, 1))(x, s)
     gr = jax.grad(f_r, argnums=(0, 1))(x, s)
     for a, b in zip(gp, gr):
@@ -105,16 +115,18 @@ def test_fused_modconv_matches_unfused(shape, co, use_noise, use_bias, gain,
                                    rtol=1e-3, atol=1e-4)
 
     # Training pattern: everything differentiated (incl. the demod chain
-    # into dw and the noise/bias reductions).
+    # into dw, the noise/bias reductions, and the identity resid cotangent).
     args = [x, w, s] + ([noise] if use_noise else []) \
-        + ([bias] if use_bias else [])
+        + ([bias] if use_bias else []) + ([resid] if use_resid else [])
 
     def _call(fn, *a):
         i = 3
         nz = a[i] if use_noise else None
         i += int(use_noise)
         bz = a[i] if use_bias else None
-        return jnp.sum(jnp.sin(fn(a[0], a[1], a[2], nz, bz, gain, alpha,
+        i += int(use_bias)
+        rz = a[i] if use_resid else None
+        return jnp.sum(jnp.sin(fn(a[0], a[1], a[2], nz, bz, rz, gain, alpha,
                                   demod)))
 
     gp = jax.grad(lambda *a: _call(fused_modconv3x3_lrelu, *a),

@@ -53,12 +53,26 @@ def main():
         os.makedirs(CACHE, exist_ok=True)
         print("cache cleared")
 
-    rc, dt, lines = run_bench("verify" if args.verify else "warm")
     if args.verify:
+        rc, dt, lines = run_bench("verify")
         ok = rc == 0 and lines and dt < 420
         print(f"verify {'OK' if ok else 'FAILED'}: cold-with-cache "
               f"wall {dt:.0f}s (target < 420s for the driver window)")
         sys.exit(0 if ok else 1)
+
+    # A cold run can exhaust bench.py's internal deadline after the
+    # projection compile and skip the generation/morph anchors — their
+    # executables then never reach the cache. Re-run until every anchor
+    # emitted its JSON line (each pass only compiles what the previous
+    # one skipped), then once more to prove the fully-warm wall time.
+    for attempt in range(4):
+        rc, dt, lines = run_bench(f"warm{attempt}")
+        metrics = {l.split('"')[3] for l in lines}
+        if rc == 0 and len(metrics) >= 3:
+            print(f"all anchors warm after {attempt + 1} run(s)")
+            break
+    else:
+        print("WARNING: not all anchors warmed in 4 runs")
 
 
 if __name__ == "__main__":
