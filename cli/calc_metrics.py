@@ -62,6 +62,8 @@ def morph_qa(dir_a, dir_b, size=None):
 
 
 def main():
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Compute quality metrics")
     p.add_argument("--model", help="Generator checkpoint dir (or init:<res>)")
     p.add_argument("--data", help="Dataset root (path/{res}/*.png)")

@@ -90,6 +90,8 @@ def compare(dir_a, dir_b, resolution, max_errors=10):
 
 
 def main():
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="GANformer de-morphing")
     p.add_argument("--model", required=True)
     p.add_argument("--morph-latent", help=".mat of the morph latent")

@@ -57,6 +57,8 @@ def svm_fingerprinting(bona_feats, morph_feats, test_frac=0.3, seed=0):
 
 
 def main():
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Face feature extraction + "
                                             "morph fingerprinting")
     p.add_argument("--backbone", help="Converted iresnet .npz")

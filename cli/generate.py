@@ -67,6 +67,8 @@ def run(model, output_dir, images_num, truncation_psi, ratio, batch_size=4,
 
 
 def main():
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(
         description="Generate images with the GANformer")
     parser.add_argument("--model", required=True,

@@ -50,6 +50,8 @@ def write_video(frames, out, fps=24):
 
 
 def main():
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Images -> video")
     p.add_argument("--images", help="Directory of frames")
     p.add_argument("--list", dest="list_file", help="Text file of frame paths")

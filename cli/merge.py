@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Batch morphs from stored latents")
     p.add_argument("--model", required=True)
     p.add_argument("--latents", nargs="*", default=[],

@@ -68,6 +68,8 @@ def run_pair(model_bundle, img_a, img_b, out_dir, args):
 
 
 def main():
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="GANformer face morphing")
     p.add_argument("--model", required=True)
     p.add_argument("--img-a")

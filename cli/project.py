@@ -103,6 +103,8 @@ def make_extra_terms(weights, args):
 
 
 def run(args):
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
 
     from cli.generate import get_model

@@ -86,6 +86,8 @@ def build_configs(args):
 
 
 def main(argv=None):
+    from morphganformer_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="Train the GANformer")
     # General (run_network.py general section).
     p.add_argument("--data-dir", required=True)
