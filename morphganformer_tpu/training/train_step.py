@@ -110,7 +110,9 @@ class GANTrainer:
                                     cfg.d_reg_interval)
         # Accumulation rounds (reference run_network.py:463-468: global batch
         # = batch_gpu * num_gpus * rounds). batch_gpu None/0 disables.
-        n_dev = mesh.devices.size if mesh is not None else 1
+        # On a ('data','model') mesh only the data axis carries batch.
+        n_dev = (dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+                 if mesh is not None else 1)
         per_step = (cfg.batch_gpu or 0) * n_dev
         self.n_accum = max(1, cfg.batch_size // per_step) if per_step else 1
         if cfg.batch_size % max(self.n_accum, 1):
@@ -144,8 +146,26 @@ class GANTrainer:
             "cur_nimg": jnp.zeros([], jnp.int32),
         }
         if self.mesh is not None:
+            from morphganformer_tpu.parallel.tp import shard_params
+
             replicated = NamedSharding(self.mesh, P())
-            state = jax.device_put(state, replicated)
+            # Weights shard their output-channel axis over the 'model'
+            # axis when present (parallel/tp.py; plain replication on a
+            # data-only mesh). Optimizer state inherits the param
+            # shardings because opt.init runs on the sharded leaves.
+            for key in ("g", "d"):
+                state[key] = dict(state[key])
+                state[key]["params"] = shard_params(state[key]["params"],
+                                                    self.mesh)
+                for coll in state[key]:
+                    if coll != "params":
+                        state[key][coll] = jax.device_put(state[key][coll],
+                                                          replicated)
+            state["gs_params"] = shard_params(state["gs_params"], self.mesh)
+            state["g_opt"] = self.g_opt.init(state["g"]["params"])
+            state["d_opt"] = self.d_opt.init(state["d"]["params"])
+            for key in ("gs_stats", "pl_mean", "cur_nimg"):
+                state[key] = jax.device_put(state[key], replicated)
         return state
 
     def _shard_batch(self, x):

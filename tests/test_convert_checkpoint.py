@@ -208,7 +208,17 @@ def _export_torch_layout(tree, prefix=""):
             continue
         a = np.asarray(v)
         if k == "weight":
-            a = a.T if a.ndim == 2 else a.transpose(3, 2, 0, 1)
+            if (a.ndim == 2 and name.endswith(".fc.weight")
+                    and a.shape[0] == 16 * a.shape[1]):
+                # Epilogue fc: torch flattens the 4x4 map NCHW, flax NHWC
+                # — inverse of map_discriminator_params' permute.
+                i, o = a.shape
+                a = (a.reshape(4, 4, o, o).transpose(3, 2, 0, 1)
+                     .reshape(o, i))
+            elif a.ndim == 2:
+                a = a.T
+            else:
+                a = a.transpose(3, 2, 0, 1)
         elif k == "const":
             a = a.transpose(2, 0, 1)
         flat[name] = a

@@ -1,0 +1,195 @@
+"""Golden cross-implementation parity: the REFERENCE PyTorch GANformer,
+executed on CPU, vs this framework's converted JAX model.
+
+The reference's CUDA ops fall back to pure-torch implementations on CPU
+(reference torch_utils/ops/bias_act.py:33-42), so the actual reference
+`training.networks.Generator`/`Discriminator` can be instantiated here,
+its live module state pushed through tools/convert_checkpoint.py's
+layout mapping, and the outputs compared pixel-for-pixel — the golden
+validation SURVEY.md §4b asks for, previously believed to require a
+pretrained pickle. Measured agreement is ~1e-6 relative (float32 CPU);
+the 1e-3 assertion threshold is orders of magnitude below any real
+wiring/layout bug (the class of bug this caught: the epilogue-fc /
+conv_stem NCHW-vs-NHWC flatten-order mismatches, now fixed in the
+converter).
+
+Two shipped reference bugs make some configurations unrunnable as-is;
+the harness patches them without touching /root/reference:
+  * TransformerLayer reads self.dim with `self.dim = dim` commented out
+    (networks.py:581,616) — patched by wrapping __init__.
+  * The latent_stem branch does `layer_kwargs.get(act, ...)` with `act`
+    undefined (networks.py:1102) — patched by injecting a module global
+    `act = "act"` so the lookup evaluates to the intended expression.
+"""
+
+import os
+import sys
+import warnings
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE, "training", "networks.py")),
+    reason="reference repository not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_networks():
+    warnings.filterwarnings("ignore")
+    if REFERENCE not in sys.path:
+        sys.path.append(REFERENCE)
+    # Other tests (test_convert_checkpoint) register FAKE torch_utils /
+    # dnnlib modules to synthesize persistence pickles; stash anything
+    # that is not the real reference package while this module imports
+    # and uses it, and restore the stash afterwards.
+    stashed = {}
+    for mod in list(sys.modules):
+        root = mod.split(".")[0]
+        if root in ("torch_utils", "dnnlib", "training"):
+            f = getattr(sys.modules[mod], "__file__", "") or ""
+            if not f.startswith(REFERENCE):
+                stashed[mod] = sys.modules.pop(mod)
+    from training import networks
+
+    if not getattr(networks.TransformerLayer, "_dim_patched", False):
+        orig = networks.TransformerLayer.__init__
+
+        def patched(self, dim, *args, **kwargs):
+            self.dim = dim
+            orig(self, dim, *args, **kwargs)
+
+        networks.TransformerLayer.__init__ = patched
+        networks.TransformerLayer._dim_patched = True
+    networks.act = "act"          # networks.py:1102 NameError workaround
+    yield networks
+    # Drop the reference packages and restore any fakes so later tests
+    # see the sys.modules state they set up.
+    for mod in list(sys.modules):
+        root = mod.split(".")[0]
+        if root in ("torch_utils", "dnnlib", "training"):
+            f = getattr(sys.modules[mod], "__file__", "") or ""
+            if f.startswith(REFERENCE):
+                del sys.modules[mod]
+    sys.modules.update(stashed)
+
+
+def _convert_generator(G, kwargs, batch):
+    from tools.convert_checkpoint import (build_generator_config,
+                                          flatten_module_state,
+                                          map_generator_params)
+    from morphganformer_tpu.models import init_generator
+
+    flat = flatten_module_state(G.__dict__)
+    variables, unmapped = map_generator_params(flat)
+    assert not unmapped, unmapped
+    cfg = build_generator_config(kwargs)
+    model, _ = init_generator(cfg, seed=0, batch=batch)
+    return model, variables
+
+
+def _compare_generator(ref_networks, kwargs, psi, noise_strength=None,
+                       tol=1e-3):
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+    G = ref_networks.Generator(**kwargs)
+    G.eval()
+    if noise_strength is not None:
+        with torch.no_grad():
+            for name, p in G.named_parameters():
+                if name.endswith("noise_strength"):
+                    p.fill_(noise_strength)
+    z = np.random.RandomState(7).randn(
+        2, kwargs["k"], kwargs["z_dim"]).astype(np.float32)
+    with torch.no_grad():
+        out = G(torch.from_numpy(z), None, truncation_psi=psi,
+                noise_mode="const")
+    img_ref = (out[0] if isinstance(out, tuple) else out).numpy()
+
+    model, variables = _convert_generator(G, kwargs, batch=2)
+    img = model.apply(variables, jnp.asarray(z), truncation_psi=psi,
+                      noise_mode="const")
+    if isinstance(img, tuple):
+        img = img[0]
+    img = np.asarray(img).transpose(0, 3, 1, 2)          # NHWC -> NCHW
+    diff = np.abs(img - img_ref)
+    assert img_ref.std() > 1e-3, "degenerate reference output"
+    assert diff.max() < tol, (diff.max(), img_ref.std())
+
+
+def test_generator_matches_reference_simplex(ref_networks):
+    """Simplex attention, skip architecture, no truncation."""
+    kwargs = dict(z_dim=32, c_dim=0, w_dim=32, k=5, img_resolution=32,
+                  img_channels=3, component_dropout=0.0,
+                  mapping_kwargs=dict(num_layers=2, transformer=True),
+                  synthesis_kwargs=dict(channel_base=1 << 10, channel_max=32,
+                                        transformer=True, start_res=0,
+                                        end_res=20))
+    _compare_generator(ref_networks, kwargs, psi=1.0)
+
+
+def test_generator_matches_reference_duplex_flagship_style(ref_networks):
+    """The flagship recipe in miniature: resnet architecture, k-means
+    duplex attention, multiplicative integration, layer norm, 2 heads,
+    truncation 0.7, nonzero noise strengths (exercises noise_const
+    buffer conversion)."""
+    kwargs = dict(z_dim=32, c_dim=0, w_dim=32, k=5, img_resolution=64,
+                  img_channels=3, component_dropout=0.0,
+                  mapping_kwargs=dict(num_layers=2, transformer=True),
+                  synthesis_kwargs=dict(channel_base=2 << 10, channel_max=64,
+                                        transformer=True, start_res=0,
+                                        end_res=20, architecture="resnet",
+                                        kmeans=True, kmeans_iters=1,
+                                        integration="mul", norm="layer",
+                                        num_heads=2))
+    _compare_generator(ref_networks, kwargs, psi=0.7, noise_strength=0.37)
+
+
+def test_generator_matches_reference_latent_stem(ref_networks):
+    """latent_stem branch (stem FC grid instead of trainable const) —
+    the conversion permutes the FC's NCHW-flattened output axis. lrmul=1
+    so the comparison is non-degenerate."""
+    kwargs = dict(z_dim=32, c_dim=0, w_dim=32, k=5, img_resolution=32,
+                  img_channels=3, component_dropout=0.0,
+                  mapping_kwargs=dict(num_layers=2, transformer=True,
+                                      lrmul=1.0),
+                  synthesis_kwargs=dict(channel_base=1 << 10, channel_max=32,
+                                        transformer=True, start_res=0,
+                                        end_res=20, latent_stem=True))
+    _compare_generator(ref_networks, kwargs, psi=1.0)
+
+
+@pytest.mark.parametrize("arch,mbstd", [
+    ("orig", 0), ("orig", 1), ("resnet", 1), ("skip", 1)])
+def test_discriminator_matches_reference(ref_networks, arch, mbstd):
+    import jax.numpy as jnp
+
+    from tools.convert_checkpoint import (build_discriminator_config,
+                                          flatten_module_state,
+                                          map_discriminator_params)
+    from morphganformer_tpu.models.discriminator import Discriminator
+
+    kwargs = dict(c_dim=0, img_resolution=32, img_channels=3,
+                  architecture=arch, channel_base=1 << 10, channel_max=32,
+                  epilogue_kwargs=dict(mbstd_num_channels=mbstd))
+    torch.manual_seed(1)
+    D = ref_networks.Discriminator(**kwargs)
+    D.eval()
+    imgs = np.random.RandomState(3).randn(4, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        scores_ref = D(torch.from_numpy(imgs), None).numpy()
+
+    variables, unmapped = map_discriminator_params(
+        flatten_module_state(D.__dict__))
+    assert not unmapped, unmapped
+    cfg = build_discriminator_config(kwargs)
+    scores = np.asarray(Discriminator(cfg).apply(
+        variables, jnp.asarray(imgs.transpose(0, 2, 3, 1))))
+    diff = np.abs(scores.reshape(-1) - scores_ref.reshape(-1))
+    assert scores_ref.std() > 1e-4
+    assert diff.max() < 1e-4, (diff.max(), scores_ref.std())

@@ -199,3 +199,103 @@ print(f"RENDEZVOUS-OK p{{pid}} main={{is_main_process()}}")
         assert rc == 0, f"process {i} failed:\n{err[-2000:]}"
     assert "RENDEZVOUS-OK p0 main=True" in outs[0][1]
     assert "RENDEZVOUS-OK p1 main=False" in outs[1][1]
+
+
+@requires_8
+def test_model_parallel_grads_match_replicated():
+    """('data','model') tensor-parallel sharding is annotation-only: loss
+    and parameter gradients under output-channel sharding (parallel/tp.py)
+    must match the replicated computation. Compared at the gradient level
+    — one Adam step would amplify reduction-order noise into sign-scale
+    update differences and prove nothing."""
+    import jax.numpy as jnp
+
+    from morphganformer_tpu.models import init_generator
+    from morphganformer_tpu.models.config import (AttentionConfig,
+                                                  GANformerConfig,
+                                                  MappingConfig)
+    from morphganformer_tpu.parallel.tp import make_mesh, shard_params
+
+    g_cfg = GANformerConfig(
+        img_resolution=16, z_dim=8, w_dim=8, k=3, channel_base=256,
+        channel_max=32, end_res=3, mapping=MappingConfig(num_layers=2),
+        attention=AttentionConfig())
+    model, variables = init_generator(g_cfg, seed=0, batch=4)
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, g_cfg.k, g_cfg.z_dim))
+
+    def loss(params):
+        v = dict(variables)
+        v["params"] = params
+        img = model.apply(v, z, truncation_psi=0.8, noise_mode="const")
+        if isinstance(img, tuple):
+            img = img[0]
+        return jnp.mean(jnp.square(img)) + jnp.mean(jnp.abs(img))
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss))(variables["params"])
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+    with mesh:
+        sharded = shard_params(variables["params"], mesh)
+        specs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda x: x.sharding.spec, sharded))
+        assert any("model" in str(s) for s in specs), specs
+        l_tp, g_tp = jax.jit(jax.value_and_grad(loss))(sharded)
+        jax.block_until_ready(g_tp)
+
+    np.testing.assert_allclose(float(l_ref), float(l_tp), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_tp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+@requires_8
+@pytest.mark.slow
+def test_model_parallel_train_iteration():
+    """A full adversarial train iteration runs on the ('data','model')
+    mesh with weights genuinely sharded over 'model', and its loss stats
+    match the data-parallel iteration (post-optimizer params are NOT
+    compared: Adam's first step amplifies reduction-order noise)."""
+    import jax.numpy as jnp
+
+    from morphganformer_tpu.models.config import (AttentionConfig,
+                                                  DiscriminatorConfig,
+                                                  GANformerConfig,
+                                                  MappingConfig)
+    from morphganformer_tpu.parallel.tp import make_mesh
+    from morphganformer_tpu.training.train_step import GANTrainer, TrainConfig
+
+    g_cfg = GANformerConfig(
+        img_resolution=16, z_dim=8, w_dim=8, k=3, channel_base=256,
+        channel_max=32, end_res=3, mapping=MappingConfig(num_layers=2),
+        attention=AttentionConfig())
+    d_cfg = DiscriminatorConfig(img_resolution=16, channel_base=256,
+                                channel_max=32, mbstd_group_size=2)
+    cfg = TrainConfig(batch_size=8, batch_gpu=2)
+    real = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+
+    stats_by_mesh = {}
+    for name, mesh in (("dp", make_mesh(jax.devices()[:8])),
+                       ("tp", make_mesh(jax.devices()[:8],
+                                        model_parallel=2))):
+        trainer = GANTrainer(g_cfg, d_cfg, cfg, mesh=mesh)
+        with mesh:
+            state = trainer.init_state(seed=0)
+            if name == "tp":
+                specs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                    lambda x: x.sharding.spec, state["g"]["params"]))
+                assert any("model" in str(s) for s in specs), specs
+            state, stats = trainer.train_iteration(
+                state, real, jax.random.PRNGKey(1), step=0)
+            jax.block_until_ready(state["g"]["params"])
+        stats_by_mesh[name] = stats
+        for k, v in stats.items():
+            assert np.isfinite(float(jnp.mean(v))), (name, k)
+
+    for k in stats_by_mesh["dp"]:
+        np.testing.assert_allclose(
+            float(jnp.mean(stats_by_mesh["dp"][k])),
+            float(jnp.mean(stats_by_mesh["tp"][k])),
+            rtol=2e-4, atol=2e-5, err_msg=k)

@@ -173,6 +173,20 @@ def map_generator_params(flat):
                 _set(buffers, tuple(parts[:-1]) + ("noise_const",), a)
             elif leaf == "const":
                 _set(params, tuple(parts), a.transpose(1, 2, 0))     # C44->44C
+            elif len(parts) >= 2 and parts[-2] == "conv_stem":
+                # latent_stem FC emits the 4x4 grid flattened NCHW in torch
+                # (networks.py:1144-1145 reshape to [N,C,4,4]); our model
+                # reshapes NHWC — permute the FC's output axis.
+                if leaf == "weight":
+                    o, i = a.shape
+                    a = (a.reshape(o // 16, 4, 4, i).transpose(1, 2, 0, 3)
+                         .reshape(o, i))
+                    _set(params, tuple(parts), a.T)
+                elif leaf == "bias":
+                    a = a.reshape(-1, 4, 4).transpose(1, 2, 0).reshape(-1)
+                    _set(params, tuple(parts), a)
+                else:
+                    raise ValueError("unknown conv_stem leaf")
             elif leaf == "weight":
                 if a.ndim == 2:                                       # FC
                     _set(params, tuple(parts), a.T)
@@ -213,7 +227,17 @@ def map_discriminator_params(flat):
         try:
             if leaf == "weight":
                 if a.ndim == 2:
-                    _set(params, parts, a.T)
+                    if parts[-2] == "fc" and a.shape[1] == a.shape[0] * 16:
+                        # Epilogue fc consumes the flattened 4x4 feature map:
+                        # torch flattens NCHW (C,H,W order), our NHWC model
+                        # flattens (H,W,C) — permute the input axis
+                        # (networks.py:1466 `x.flatten(1)`).
+                        o, i = a.shape
+                        a = (a.reshape(o, o, 4, 4).transpose(2, 3, 1, 0)
+                             .reshape(i, o))
+                        _set(params, parts, a)
+                    else:
+                        _set(params, parts, a.T)
                 elif a.ndim == 4:
                     _set(params, parts, a.transpose(2, 3, 1, 0))
                 else:
