@@ -14,19 +14,76 @@ from morphganformer_tpu.models.layers import Conv2dLayer, FullyConnected, get_ga
 from morphganformer_tpu.ops import downsample2d, setup_filter
 
 
+def packed_d_structural_ok(cfg, res) -> bool:
+    """Shape/architecture requirements for a lane-packed D block, shared
+    between the production gate and the parity tests (one predicate so
+    the tested path can never drift from production's — ADVICE r2)."""
+    if cfg.architecture != "resnet" or cfg.act != "lrelu":
+        return False
+    in_ch = cfg.channels(res)
+    out_ch = cfg.channels(res // 2)
+    return (in_ch <= 128 and 128 % in_ch == 0
+            and out_ch == 2 * in_ch and out_ch <= 128
+            and res * in_ch % 128 == 0
+            and (res * in_ch // 128) % 8 == 0)
+
+
+def packed_d_block_eligible(cfg, res) -> bool:
+    """Gate for the lane-packed D tower (mirror of the synthesis-side
+    packed_block_eligible): the >=512^2 low-channel blocks whose XLA conv
+    layouts are narrow-lane run as [N, H, G, 128] packed pallas kernels
+    (frgb entry, same-res conv0, fused down-conv1 with the resnet
+    skip-add in-kernel). Default-on on TPU; MGT_PACKED_D=0 disables."""
+    import os
+
+    import jax
+
+    if os.environ.get("MGT_PACKED_D", "1") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return res >= 512 and packed_d_structural_ok(cfg, res)
+
+
 class DiscriminatorBlock(nn.Module):
     """Reference DiscriminatorBlock (networks.py:1339-1396)."""
     cfg: DiscriminatorConfig
     res: int
 
     @nn.compact
-    def __call__(self, x, img):
+    def __call__(self, x, img, packed: bool = False):
         cfg = self.cfg
         arch = cfg.architecture
         stem = self.res == cfg.img_resolution
         in_channels = cfg.channels(self.res)
         out_channels = cfg.channels(self.res // 2)
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+        if packed:
+            # Lane-packed [N, H, G, 128] representation; when the NEXT
+            # block is unpacked and out_channels == 128 the packed output
+            # IS pixel NHWC (P = 1), so no relayout is ever needed.
+            assert arch == "resnet"
+            g_in = self.res * in_channels // 128
+            if x is not None:
+                assert x.shape[1:] == (self.res, g_in, 128), x.shape
+                x = x.astype(dtype)
+            if stem:
+                x = Conv2dLayer(cfg.img_channels, in_channels, 1,
+                                act=cfg.act, packed=True,
+                                name="fromrgb")(img.astype(dtype))
+            y = Conv2dLayer(in_channels, out_channels, 1, use_bias=False,
+                            down=2, resample_kernel=cfg.resample_kernel,
+                            gain=get_gain(arch), packed=packed,
+                            name="skip")(x)
+            x = Conv2dLayer(in_channels, in_channels, 3, act=cfg.act,
+                            packed=packed, name="conv0")(x)
+            # conv1 absorbs the resnet add into its fused epilogue.
+            x = Conv2dLayer(in_channels, out_channels, 3, down=2,
+                            resample_kernel=cfg.resample_kernel, act=cfg.act,
+                            gain=get_gain(arch), packed=packed,
+                            name="conv1")(x, resid=y)
+            return x, None
 
         if x is not None:
             assert x.shape[1:] == (self.res, self.res, in_channels)
@@ -47,8 +104,7 @@ class DiscriminatorBlock(nn.Module):
                             name="conv0")(x)
             x = Conv2dLayer(in_channels, out_channels, 3, down=2,
                             resample_kernel=cfg.resample_kernel, act=cfg.act,
-                            gain=get_gain(arch), name="conv1")(x)
-            x = y + x
+                            gain=get_gain(arch), name="conv1")(x, resid=y)
         else:
             x = Conv2dLayer(in_channels, in_channels, 3, act=cfg.act,
                             name="conv0")(x)
@@ -111,6 +167,24 @@ class Discriminator(nn.Module):
         assert img.shape[1:] == (cfg.img_resolution, cfg.img_resolution,
                                  cfg.img_channels)
         x = None
+        packed = False
         for res in cfg.block_resolutions:
-            x, img = DiscriminatorBlock(cfg, res, name=f"b{res}")(x, img)
+            use_packed = packed_d_block_eligible(cfg, res)
+            # A packed prefix can only start at the stem (the frgb entry
+            # produces the packed representation).
+            if use_packed and not packed and res != cfg.img_resolution:
+                use_packed = False
+            if packed and not use_packed:
+                # Leave the packed domain: [N, H, G, P*C] -> pixel NHWC
+                # is a pure reshape (identity when P == 1).
+                c_in = cfg.channels(res)
+                n, h, g, lanes = x.shape
+                x = x.reshape(n, h, g * (lanes // c_in), c_in)
+            x, img = DiscriminatorBlock(cfg, res, name=f"b{res}")(
+                x, img, packed=use_packed)
+            packed = use_packed
+        if packed:
+            c_in = cfg.channels(4)
+            n, h, g, lanes = x.shape
+            x = x.reshape(n, h, g * (lanes // c_in), c_in)
         return DiscriminatorEpilogue(cfg, name="b4")(x, img, c)

@@ -158,21 +158,24 @@ class Conv2dLayer(nn.Module):
     packed: bool = False    # lane-packed [B, H, G, 128] in/out (TPU pipeline)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, resid=None):
+        """`resid` (packed paths only): skip-branch tensor shaped like the
+        output, added in-kernel after the activation (the D resnet
+        block's former explicit `y + x`)."""
         k = self.kernel_size
         w = self.param("weight", weight_init(1.0),
                        (k, k, self.in_channels, self.out_channels))
         coef = runtime_coef(self.in_channels * k * k)
         f = setup_filter(list(self.resample_kernel))
-        if self.packed:
+        if self.packed and self.up == 2:
             # Packed-pipeline skip branch: unmodulated 1x1 conv + FIR up2
             # as one lane-packed pallas pass; the (linear, no-bias) BiasAct
             # reduces to the gain factor. Cin > 128 (the b256 block) runs
             # the channel-split variant on the pixel NHWC input.
             from morphganformer_tpu.ops.pallas_conv import (
                 fused_packed_upconv2, fused_packed_upconv2_c256)
-            assert (self.up, self.down, k) == (2, 1, 1) and not self.use_bias \
-                and self.act == "linear"
+            assert (self.down, k) == (1, 1) and not self.use_bias \
+                and self.act == "linear" and resid is None
             if self.in_channels > 128:
                 return fused_packed_upconv2_c256(
                     x, (w * coef).astype(jnp.float32), None, f, None, None,
@@ -180,12 +183,57 @@ class Conv2dLayer(nn.Module):
             return fused_packed_upconv2(
                 x, (w * coef).astype(jnp.float32), None, f, None, None,
                 self.gain, 1.0, False, False)
+        if self.packed:
+            # Packed D tower (see ops/pallas_conv.py packed-discriminator
+            # section): down-conv, same-res conv, and the frgb entry all
+            # keep the [N, H, G, 128] lane-packed representation, with
+            # bias + lrelu (+ the resnet skip-add) fused in-kernel.
+            from morphganformer_tpu.ops.bias_act import activation_funcs
+            from morphganformer_tpu.ops.pallas_conv import (
+                fused_modconv3x3_lrelu, fused_packed_dconv2)
+
+            act_gain = float(activation_funcs[self.act].def_gain * self.gain)
+            alpha = 0.2 if self.act == "lrelu" else 1.0
+            assert self.act in ("lrelu", "linear")
+            b = (BiasAct(self.out_channels, act=self.act, name="biasAct")(
+                None, return_bias=True) if self.use_bias else None)
+            if self.down == 2:
+                return fused_packed_dconv2(
+                    x, (w * coef).astype(jnp.float32), f, b, resid,
+                    act_gain, alpha, True)
+            if k == 3:
+                assert self.in_channels == self.out_channels
+                ones = jnp.ones((x.shape[0], self.in_channels), x.dtype)
+                return fused_modconv3x3_lrelu(
+                    x, (w * coef).astype(jnp.float32), ones, None, b, resid,
+                    act_gain, alpha, False, True)
+            # frgb entry: pixel [N, R, R, img_ch] -> packed
+            # [N, R, G, Q*out]; the 1x1 conv is a tiny per-pixel matmul.
+            assert k == 1 and self.up == 1 and self.down == 1
+            n, r, _, cin = x.shape
+            q = 128 // self.out_channels
+            g = r // q
+            y = jnp.einsum(
+                "nhgqc,cd->nhgqd", x.reshape(n, r, g, q, cin),
+                (w[0, 0] * coef).astype(x.dtype))
+            y = y.astype(jnp.float32)
+            if b is not None:
+                y = y + b
+            if alpha != 1.0:
+                y = jnp.where(y >= 0, y, y * alpha)
+            y = (y * act_gain).reshape(n, r, g, q * self.out_channels)
+            if resid is not None:
+                y = y + resid.astype(jnp.float32)
+            return y.astype(x.dtype)
         x = conv2d_resample(
             x, (w * coef).astype(x.dtype), f=f, up=self.up, down=self.down,
             padding=k // 2, flip_weight=(self.up == 1),
         )
-        return BiasAct(self.out_channels, use_bias=self.use_bias, act=self.act,
-                       gain=self.gain, name="biasAct")(x)
+        x = BiasAct(self.out_channels, use_bias=self.use_bias, act=self.act,
+                    gain=self.gain, name="biasAct")(x)
+        if resid is not None:
+            x = x + resid.astype(x.dtype)
+        return x
 
 
 # ----------------------------------------------------------------------------

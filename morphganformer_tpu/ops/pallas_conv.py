@@ -960,18 +960,31 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
 
 
 def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
-                            use_scale=False, use_dot=False):
-    """Adjoint of the packed up-conv: output tile rows [s0, s0+tile_s) at
-    the INPUT resolution read gradient rows [2*s0-2, 2*s0+2*tile_s+2) with
-    a 2-row halo each side. w_ref: [6, 3, QO, PC].
+                            use_scale=False, use_dot=False,
+                            gain=1.0, alpha=1.0, use_bias=False,
+                            use_resid=False):
+    """Strided 2x-down packed conv: output tile rows [s0, s0+tile_s) at
+    the HALF resolution read full-res rows [2*s0-2, 2*s0+2*tile_s+2) with
+    a 2-row halo each side. w_ref: [6, 3, QO, PC]. Serves two roles with
+    the same DMA geometry:
 
-    use_scale multiplies the output by a per-(batch, channel) vector in
-    VMEM (the style s, turning the plain adjoint du into dx = du*s with no
-    extra pass); use_dot adds an input tile z and a per-tile output
-    dot[b, i] = sum_pixels z * acc over the PRE-scale f32 accumulator
-    (the ds = sum x*du reduction) — see _modconv_epilogue_kernel."""
+      * the exact adjoint of the packed up-conv (custom-VJP backward) —
+        use_scale multiplies the output by a per-(batch, channel) VMEM
+        vector (the style s, so du*s costs no extra pass) and use_dot
+        adds an input tile z plus a per-tile output dot[b, i] =
+        sum_pixels z * acc over the PRE-scale f32 accumulator (the
+        ds = sum x*du reduction);
+      * the FORWARD 2x-down conv of the discriminator tower
+        (fused_packed_dconv2) — the composed conv+FIR kernel, packed by
+        _pack_downconv_kernel on its flipped/channel-swapped form, plus
+        the fused bias + lrelu(alpha) * gain [+ resid] epilogue that
+        replaces the separate BiasAct pass."""
     if use_scale:
         scale_ref, rest = rest[0], rest[1:]
+    if use_bias:
+        bias_ref, rest = rest[0], rest[1:]
+    if use_resid:
+        resid_ref, rest = rest[0], rest[1:]
     if use_dot:
         dot_in_ref, rest = rest[0], rest[1:]
         o_ref, dot_ref, g_vmem, sems = rest
@@ -1053,6 +1066,14 @@ def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
         dot_ref[0] = jnp.where(rows == 0, partial[None, :], 0.0)
     if use_scale:
         acc = acc * _row_select(scale_ref, b)[None, :]
+    if use_bias:
+        acc = acc + bias_ref[0][None, :]
+    if alpha != 1.0:
+        acc = jnp.where(acc >= 0, acc, acc * alpha)
+    if gain != 1.0:
+        acc = acc * gain
+    if use_resid:
+        acc = acc + resid_ref[0].reshape(tile_s * wg, pc).astype(jnp.float32)
     o_ref[0] = acc.reshape(tile_s, wg, pc).astype(o_ref.dtype)
 
 
@@ -1134,13 +1155,17 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
     )(*args)
 
 
-def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None):
-    """Adjoint of _packed_upconv_pallas. gp: [N, H_out, G, QO]; kdown:
+def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
+                            bias_p=None, gain=1.0, alpha=1.0, resid_p=None):
+    """Strided 2x-down packed conv (adjoint of _packed_upconv_pallas, or
+    the D tower's forward down-conv). gp: [N, H_out, G, QO]; kdown:
     [6, 3, QO, PC]; mask: static nonzero-block mask [6][3] from
     _pack_downconv_kernel; scale [N, PC] f32 or None (per-channel output
     multiply in-kernel: du -> du*s); dot_with [N, H_in, G, PC] or None
     (also return per-tile partials dots[n, i, PC] of
-    sum_pixels(dot_with * pre-scale adjoint) — the ds reduction).
+    sum_pixels(dot_with * pre-scale adjoint) — the ds reduction);
+    bias_p [PC] f32 / gain / alpha / resid_p [N, H_in, G, PC]: the fused
+    forward epilogue bias + lrelu(alpha) * gain [+ resid].
     Returns [N, H_out//2, G, PC] (plus dots when dot_with is given)."""
     n, h_out, wg, qo = gp.shape
     pc = kdown.shape[-1]
@@ -1148,6 +1173,8 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None):
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
     use_scale = scale is not None
     use_dot = dot_with is not None
+    use_bias = bias_p is not None
+    use_resid = resid_p is not None
 
     es = gp.dtype.itemsize
     budget = 10 * 1024 * 1024
@@ -1157,7 +1184,7 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None):
             continue
         need = (2 * (2 * t + 4) * wgp * qo * es + 2 * t * wg * pc * es
                 + t * wg * pc * 4 + (2 * t + 4) * wgp * qo * es
-                + (2 * t * wg * pc * es if use_dot else 0))
+                + (2 * t * wg * pc * es if (use_dot or use_resid) else 0))
         if need <= budget:
             tile_s = t
             break
@@ -1174,6 +1201,15 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None):
     if use_scale:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # [N, PC]
         args.append(scale.astype(jnp.float32))
+    if use_bias:
+        in_specs.append(pl.BlockSpec((1, pc), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_p[None].astype(jnp.float32))
+    if use_resid:
+        in_specs.append(pl.BlockSpec((1, tile_s, wg, pc),
+                                     lambda b, i: (b, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(resid_p)
     if use_dot:
         in_specs.append(pl.BlockSpec((1, tile_s, wg, pc),
                                      lambda b, i: (b, i, 0, 0),
@@ -1193,7 +1229,9 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None):
 
     return pl.pallas_call(
         functools.partial(_packed_downconv_kernel, tile_s=tile_s, wg=wg,
-                          mask=mask, use_scale=use_scale, use_dot=use_dot),
+                          mask=mask, use_scale=use_scale, use_dot=use_dot,
+                          gain=float(gain), alpha=float(alpha),
+                          use_bias=use_bias, use_resid=use_resid),
         out_shape=out_shape,
         grid=(n, n_i),
         interpret=jax.default_backend() == "cpu",
@@ -1480,3 +1518,136 @@ def fused_packed_upconv2_c256(x, w, styles, f, noise, bias, gain, alpha,
     if gain != 1.0:
         y32 = y32 * gain
     return y32.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Packed discriminator tower: FORWARD 2x-down conv (+FIR +bias +lrelu
+# [+resid]) on lane-packed activations. The D's >=512^2 layers are the same
+# narrow-lane/high-res shape the packed synthesis pipeline fixed on the G
+# side (reference Conv2dLayer down=2, networks.py:225-250 + upfirdn2d.cu);
+# here the composed conv+FIR correlation y[m] = sum_t K[t] x[2m + t - q0]
+# is exactly the existing down-conv DMA geometry: packing the
+# flipped/channel-swapped K with p0 = L-1-q0 reuses _pack_downconv_kernel
+# and _packed_downconv_pallas verbatim, and the backward dx is the packed
+# UP-conv of the gradient (same duality, roles reversed).
+# ---------------------------------------------------------------------------
+
+
+def _dconv_compose(w, f, flip_weight):
+    """Composed correlation kernel K and its left-pad q0 for down=2,
+    padding=k//2 (conv2d_resample.py down fast path semantics)."""
+    kh = w.shape[0]
+    if f is not None:
+        K = _compose_kernel_fir(w.astype(jnp.float32), f, flip_weight, False)
+        fw = int(f.shape[-1])
+    else:
+        K = w.astype(jnp.float32) if flip_weight else w[::-1, ::-1].astype(jnp.float32)
+        fw = 1
+    q0 = kh // 2 + (fw - 1) // 2
+    return K, q0
+
+
+def _dconv_fwd_impl(x, w, f, bias, gain, alpha, flip_weight, resid=None):
+    n, h, wg, lanes = x.shape
+    kh, kw, cin, cout = w.shape
+    assert lanes % cin == 0 and cout == 2 * cin, (x.shape, w.shape)
+    Q = lanes // cin
+    P = Q // 2
+    K, q0 = _dconv_compose(w, f, flip_weight)
+    L = K.shape[0]
+    T = K[::-1, ::-1].transpose(0, 1, 3, 2)          # flip + ci<->co swap
+    kdown, kmask = _pack_downconv_kernel(T.astype(x.dtype), P, Q, L - 1 - q0)
+    bias_p = jnp.tile(bias.astype(jnp.float32), P) if bias is not None else None
+    y = _packed_downconv_pallas(x, kdown, mask=kmask, bias_p=bias_p,
+                                gain=gain, alpha=alpha,
+                                resid_p=None if resid is None
+                                else resid.astype(x.dtype))
+    return y, K, q0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_packed_dconv2(x, w, f, bias, resid, gain, alpha, flip_weight):
+    """Fused 2x-down conv + FIR + bias + lrelu for the packed D tower:
+
+        y = lrelu(conv_down2(x, compose(w, f)) + bias, alpha) * gain
+            [+ resid]
+
+    x: packed [N, H, G, Q*Cin] (Q = lanes/Cin pixels per group); w:
+    [k, k, Cin, Cout] HWIO with Cout == 2*Cin (the D channel doubling);
+    f: FIR from setup_filter or None; bias: [Cout] or None; resid (or
+    None): the resnet skip branch at output resolution, added in-kernel.
+    Returns packed [N, H/2, G, P*Cout]. Matches conv2d_resample(...,
+    down=2, padding=k//2) + BiasAct exactly (parity-tested)."""
+    y, _, _ = _dconv_fwd_impl(x, w, f, bias, gain, alpha, flip_weight, resid)
+    return y
+
+
+def _dconv_fwd(x, w, f, bias, resid, gain, alpha, flip_weight):
+    bias_v = None if bias is None else bias.value
+    resid_v = None if resid is None else resid.value
+    y, K, q0 = _dconv_fwd_impl(x.value, w.value, f.value, bias_v, gain,
+                               alpha, flip_weight, resid_v)
+    flags = (_tok(x.perturbed), _tok(w.perturbed),
+             _tok(bias is not None and bias.perturbed),
+             _tok(resid is not None and resid.perturbed))
+    return y, (x.value, w.value, f.value, bias_v, resid_v, y, K, q0, flags)
+
+
+def _dconv_bwd(gain, alpha, flip_weight, res, g):
+    x, w, f, bias, resid, y, K, q0, flags = res
+    x_p, w_p, bias_p, resid_p = [fl is not None for fl in flags]
+    n, h, wg, lanes = x.shape
+    kh, kw, cin, cout = w.shape
+    Q = lanes // cin
+    P = Q // 2
+    L = K.shape[0]
+    f32 = jnp.float32
+
+    dresid = None
+    if resid is not None:
+        dresid = g.astype(resid.dtype) if resid_p else jnp.zeros_like(resid)
+        y = y - resid.astype(y.dtype)
+    mask = jnp.where(y >= 0, jnp.asarray(gain, g.dtype),
+                     jnp.asarray(gain * alpha, g.dtype))
+    gz = g * mask                                     # dL/d(conv+bias)
+
+    dx = None
+    if x_p:
+        # Adjoint: dx[r] = sum_m K[r - 2m + q0] gz[m] =
+        # sum_m flip(K)[2m - r + (L-1-q0)] gz[m] — a packed 2x-UP conv of
+        # the gradient with the flipped, channel-swapped kernel.
+        Tup = K[::-1, ::-1].transpose(0, 1, 3, 2)
+        blk, bmask = _pack_upconv_kernel(Tup.astype(gz.dtype), P, Q,
+                                         L - 1 - q0)
+        ones_s = jnp.ones((n, P * cout), gz.dtype)
+        ones_d = jnp.ones((n, Q * cin), f32)
+        dx = _packed_upconv_pallas(gz, blk, ones_s, ones_d, None, None,
+                                   1.0, 1.0, masks=bmask).astype(x.dtype)
+
+    dw = None
+    if w_p:
+        # Training path: vjp of the XLA reference composition w.r.t. w.
+        from morphganformer_tpu.ops.conv2d_resample import conv2d_resample
+        x_px = x.reshape(n, h, wg, Q, cin).reshape(n, h, wg * Q, cin)
+        gz_px = gz.astype(f32).reshape(n, h // 2, wg, P, cout).reshape(
+            n, h // 2, wg * P, cout)
+
+        def conv_of_w(w_):
+            return conv2d_resample(x_px, w_.astype(x.dtype), f=f, down=2,
+                                   padding=kh // 2,
+                                   flip_weight=flip_weight).astype(f32)
+
+        dw = jax.vjp(conv_of_w, w.astype(f32))[1](gz_px)[0].astype(w.dtype)
+
+    dbias = None
+    if bias is not None:
+        dbias = (jnp.sum(gz.astype(f32).reshape(n, -1, P, cout),
+                         axis=(0, 1, 2)).astype(bias.dtype)
+                 if bias_p else jnp.zeros_like(bias))
+
+    return (dx if dx is not None else jnp.zeros_like(x),
+            dw if dw is not None else jnp.zeros_like(w),
+            jnp.zeros_like(f), dbias, dresid)
+
+
+fused_packed_dconv2.defvjp(_dconv_fwd, _dconv_bwd, symbolic_zeros=True)
