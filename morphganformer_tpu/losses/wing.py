@@ -31,7 +31,13 @@ def wing_loss(pred, target, omega=10.0, epsilon=2.0):
 def adaptive_wing_loss(pred, target, omega=14.0, theta=0.5, epsilon=1.0,
                        alpha=2.1):
     """Adaptive wing loss over heatmaps (reference adaptive_wing_loss.py:18-39).
-    The exponent adapts to the target heatmap value y."""
+    The exponent adapts to the target heatmap value y.
+
+    Behavioral-parity note: the reference implementation normalizes the
+    small-|dy| branch by OMEGA (`pow(delta/omega, alpha-y)`,
+    adaptive_wing_loss.py:33) where the AWing paper uses epsilon; we
+    reproduce the reference exactly (golden-tested against its executed
+    module in tests/test_golden_reference.py)."""
     y = target
     delta = jnp.abs(y - pred)
     p = alpha - y
@@ -39,7 +45,7 @@ def adaptive_wing_loss(pred, target, omega=14.0, theta=0.5, epsilon=1.0,
     a = omega * (1.0 / (1.0 + ratio ** p)) * p * (ratio ** (p - 1.0)) / epsilon
     c = theta * a - omega * jnp.log(1.0 + ratio ** p)
     losses = jnp.where(delta < theta,
-                       omega * jnp.log(1.0 + (delta / epsilon) ** p),
+                       omega * jnp.log(1.0 + (delta / omega) ** p),
                        a * delta - c)
     return jnp.mean(losses)
 

