@@ -224,3 +224,83 @@ def test_wing_losses_match_reference():
                                          torch.from_numpy(target)))
     got_a = float(adaptive_wing_loss(jnp.asarray(pred2), jnp.asarray(target)))
     np.testing.assert_allclose(got_a, ref_a, rtol=1e-5)
+
+
+def test_core_ops_match_reference(ref_networks):
+    """ops/{upfirdn2d,bias_act,conv2d_resample} vs the reference's
+    executed pure-torch fallbacks (torch_utils/ops/*.py `impl='ref'`
+    paths) across up/down/pad/activation variants. `ref_networks` is
+    depended on only for its sys.path/sys.modules handling."""
+    import jax.numpy as jnp
+
+    from torch_utils.ops import bias_act as ref_ba
+    from torch_utils.ops import conv2d_resample as ref_cr
+    from torch_utils.ops import upfirdn2d as ref_up
+
+    from morphganformer_tpu.ops.bias_act import bias_act
+    from morphganformer_tpu.ops.conv2d_resample import conv2d_resample
+    from morphganformer_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(2, 8, 16, 16).astype(np.float32)          # NCHW ref
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 1))              # NHWC ours
+    f_np = np.asarray([1., 3., 3., 1.], np.float32)
+    f_t = ref_up.setup_filter(torch.from_numpy(f_np))
+    f_j = setup_filter([1, 3, 3, 1])
+
+    for kw in (dict(up=2, padding=(2, 1, 2, 1)),
+               dict(down=2, padding=(1, 1, 1, 1)),
+               dict(up=2, down=2, padding=0, gain=4),
+               dict(padding=(3, 0, 2, 1), flip_filter=True)):
+        ref = ref_up.upfirdn2d(torch.from_numpy(x), f_t, impl="ref",
+                               **kw).numpy()
+        pad = kw.get("padding", 0)
+        got = upfirdn2d(x_j, f_j, up=kw.get("up", 1), down=kw.get("down", 1),
+                        padding=list(pad) if isinstance(pad, tuple) else pad,
+                        gain=kw.get("gain", 1),
+                        flip_filter=kw.get("flip_filter", False))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=str(kw))
+
+    b = rng.randn(8).astype(np.float32)
+    for act in ref_ba.activation_funcs:
+        for clamp in (None, 0.5):
+            ref = ref_ba.bias_act(torch.from_numpy(x), torch.from_numpy(b),
+                                  act=act, clamp=clamp, impl="ref").numpy()
+            got = bias_act(x_j, jnp.asarray(b), act=act, clamp=clamp)
+            np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                       ref, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{act} clamp={clamp}")
+
+    w = rng.randn(3, 3, 8, 12).astype(np.float32) * 0.3     # HWIO ours
+    w_t = torch.from_numpy(w.transpose(3, 2, 0, 1))         # OIHW ref
+    for kw in (dict(up=2, padding=1, flip_weight=False),
+               dict(down=2, padding=1, flip_weight=True),
+               dict(padding=1, flip_weight=True)):
+        ref = ref_cr.conv2d_resample(torch.from_numpy(x), w_t, f=f_t,
+                                     **kw).numpy()
+        got = conv2d_resample(x_j, jnp.asarray(w), f=f_j, **kw)
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=str(kw))
+
+
+def test_grid_sample_matches_torch():
+    """ops/grid_sample.py vs torch.nn.functional.grid_sample (the exact
+    call the reference's grid_sample_gradfix wraps: bilinear,
+    align_corners=True, zeros padding), incl. out-of-range samples."""
+    import jax.numpy as jnp
+
+    from morphganformer_tpu.ops.grid_sample import grid_sample
+
+    rng = np.random.RandomState(13)
+    x = rng.randn(2, 4, 9, 7).astype(np.float32)            # NCHW ref
+    grid = (rng.rand(2, 5, 6, 2).astype(np.float32) * 2.6 - 1.3)
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode="bilinear",
+        padding_mode="zeros", align_corners=True).numpy()
+    got = grid_sample(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-5, atol=1e-5)
