@@ -304,3 +304,92 @@ def test_grid_sample_matches_torch():
                       jnp.asarray(grid))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_training_losses_match_reference(ref_networks):
+    """training/loss.py vs the reference StyleGAN2Loss executed end to end
+    (G_main, D_main, D_r1 — the deterministic stages: style/component
+    mixing off, noise strengths zeroed, attention dropout 0; the PL reg
+    draws framework-specific randn directions and is excluded). Runs the
+    actual reference accumulate_gradients (incl. its backward and the R1
+    double-grad) on converted tiny G/D pairs, capturing
+    training_stats.report."""
+    import jax.numpy as jnp
+
+    from training import loss as ref_loss
+
+    from morphganformer_tpu.models.discriminator import Discriminator
+    from morphganformer_tpu.training.loss import (LossConfig, d_main_loss,
+                                                  d_r1_loss, g_main_loss)
+    from tools.convert_checkpoint import (build_discriminator_config,
+                                          flatten_module_state,
+                                          map_discriminator_params)
+
+    g_kwargs = dict(z_dim=32, c_dim=0, w_dim=32, k=5, img_resolution=32,
+                    img_channels=3, component_dropout=0.0,
+                    mapping_kwargs=dict(num_layers=2, transformer=True),
+                    synthesis_kwargs=dict(channel_base=1 << 10,
+                                          channel_max=32, transformer=True,
+                                          start_res=0, end_res=20,
+                                          attention_dropout=0.0))
+    d_kwargs = dict(c_dim=0, img_resolution=32, img_channels=3,
+                    channel_base=1 << 10, channel_max=32,
+                    epilogue_kwargs=dict(mbstd_group_size=2))
+    torch.manual_seed(0)
+    G = ref_networks.Generator(**g_kwargs)
+    D = ref_networks.Discriminator(**d_kwargs)
+    with torch.no_grad():
+        for name, p in G.named_parameters():
+            if name.endswith("noise_strength"):
+                p.zero_()
+
+    captured = {}
+    orig_report = ref_loss.training_stats.report
+    ref_loss.training_stats.report = (
+        lambda name, value: captured.__setitem__(
+            name, float(torch.mean(value.detach().to(torch.float32)))))
+    try:
+        loss_obj = ref_loss.StyleGAN2Loss(
+            torch.device("cpu"), G, D, style_mixing=0.0,
+            component_mixing=0.0, r1_gamma=10.0)
+        rng = np.random.RandomState(21)
+        z = rng.randn(2, 5, 32).astype(np.float32)
+        real = rng.randn(2, 3, 32, 32).astype(np.float32)
+        loss_obj.accumulate_gradients(
+            "G_main", torch.from_numpy(real), None, torch.from_numpy(z),
+            None, sync=False, gain=1.0)
+        loss_obj.accumulate_gradients(
+            "D_main", torch.from_numpy(real), None, torch.from_numpy(z),
+            None, sync=False, gain=1.0)
+        loss_obj.accumulate_gradients(
+            "D_reg", torch.from_numpy(real), None, torch.from_numpy(z),
+            None, sync=False, gain=1.0)
+    finally:
+        ref_loss.training_stats.report = orig_report
+
+    model, g_vars = _convert_generator(G, g_kwargs, batch=2)
+    d_vars, un = map_discriminator_params(flatten_module_state(D.__dict__))
+    assert not un, un
+    d_model = Discriminator(build_discriminator_config(d_kwargs))
+
+    cfg = LossConfig(style_mixing=0.0, component_mixing=0.0, r1_gamma=10.0)
+    import jax
+
+    key = jax.random.PRNGKey(3)
+    real_j = jnp.asarray(real.transpose(0, 2, 3, 1))
+    z_j = jnp.asarray(z)
+    _, g_aux = g_main_loss(model, d_model, g_vars, d_vars, z_j, None, key,
+                           cfg)
+    _, d_aux = d_main_loss(model, d_model, g_vars, d_vars, real_j, z_j,
+                           None, key, cfg)
+    _, r_aux = d_r1_loss(d_model, d_vars, real_j, None, cfg)
+
+    pairs = [("Loss/G/loss", g_aux["Loss/G/loss"]),
+             ("Loss/scores/fake", d_aux["Loss/scores/fake"]),
+             ("Loss/D/loss", d_aux["Loss/D/loss"]),
+             ("Loss/scores/real", d_aux["Loss/scores/real"]),
+             ("Loss/r1_penalty", r_aux["Loss/r1_penalty"])]
+    for name, ours in pairs:
+        assert name in captured, (name, sorted(captured))
+        np.testing.assert_allclose(float(ours), captured[name], rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
