@@ -393,3 +393,28 @@ def test_training_losses_match_reference(ref_networks):
         assert name in captured, (name, sorted(captured))
         np.testing.assert_allclose(float(ours), captured[name], rtol=1e-4,
                                    atol=1e-5, err_msg=name)
+
+
+def test_projection_lr_schedule_matches_reference():
+    """projection/engine.py::cosine_ramp_lr vs the reference's get_lr
+    (1024_example_MSE.py:62-67), executed from its AST (the script's
+    module imports torchvision, absent here — the function itself is
+    pure math)."""
+    import ast
+    import math
+
+    src = open(os.path.join(REFERENCE, "1024_example_MSE.py")).read()
+    fn = next(n for n in ast.parse(src).body
+              if isinstance(n, ast.FunctionDef) and n.name == "get_lr")
+    ns = {"math": math}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "<ref_get_lr>",
+                 "exec"), ns)
+    ref_get_lr = ns["get_lr"]
+
+    from morphganformer_tpu.projection.engine import cosine_ramp_lr
+
+    for t in np.linspace(0.0, 1.0, 21):
+        want = ref_get_lr(float(t), 0.1)
+        got = float(cosine_ramp_lr(float(t), 0.1))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9,
+                                   err_msg=f"t={t}")
