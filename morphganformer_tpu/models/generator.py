@@ -90,10 +90,11 @@ def init_generator(cfg: GANformerConfig, seed: int = 0, batch: int = 1):
     pathologically slow on remote-dispatch TPU backends."""
     model = Generator(cfg)
     z = jnp.zeros((batch, cfg.k, cfg.z_dim), jnp.float32)
+    c = jnp.zeros((batch, cfg.c_dim), jnp.float32) if cfg.c_dim > 0 else None
     rngs = {"params": jax.random.PRNGKey(seed),
             "noise": jax.random.PRNGKey(seed + 1),
             "mask": jax.random.PRNGKey(seed + 2),
             "dropout": jax.random.PRNGKey(seed + 3)}
-    init_fn = jax.jit(lambda r, zz: model.init(r, zz, noise_mode="const"))
+    init_fn = jax.jit(lambda r, zz: model.init(r, zz, c, noise_mode="const"))
     variables = init_fn(rngs, z)
     return model, variables

@@ -418,3 +418,58 @@ def test_projection_lr_schedule_matches_reference():
         got = float(cosine_ramp_lr(float(t), 0.1))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9,
                                    err_msg=f"t={t}")
+
+
+def test_conditional_generator_and_discriminator_match_reference(
+        ref_networks):
+    """c_dim > 0: the label-embedding mapping concat (reference
+    networks.py:869-910) and the D's conditional projection epilogue
+    (networks.py:1469-1471) against the executed reference."""
+    import jax.numpy as jnp
+
+    from morphganformer_tpu.models.discriminator import Discriminator
+    from tools.convert_checkpoint import (build_discriminator_config,
+                                          flatten_module_state,
+                                          map_discriminator_params)
+
+    c_dim = 6
+    g_kwargs = dict(z_dim=32, c_dim=c_dim, w_dim=32, k=5, img_resolution=32,
+                    img_channels=3, component_dropout=0.0,
+                    mapping_kwargs=dict(num_layers=2, transformer=True),
+                    synthesis_kwargs=dict(channel_base=1 << 10,
+                                          channel_max=32, transformer=True,
+                                          start_res=0, end_res=20))
+    torch.manual_seed(0)
+    G = ref_networks.Generator(**g_kwargs)
+    G.eval()
+    rng = np.random.RandomState(17)
+    z = rng.randn(2, 5, 32).astype(np.float32)
+    c = np.eye(c_dim, dtype=np.float32)[rng.randint(0, c_dim, 2)]
+    with torch.no_grad():
+        out = G(torch.from_numpy(z), torch.from_numpy(c),
+                truncation_psi=1.0, noise_mode="const")
+    img_ref = (out[0] if isinstance(out, tuple) else out).numpy()
+    model, variables = _convert_generator(G, g_kwargs, batch=2)
+    img = model.apply(variables, jnp.asarray(z), jnp.asarray(c),
+                      truncation_psi=1.0, noise_mode="const")
+    if isinstance(img, tuple):
+        img = img[0]
+    diff = np.abs(np.asarray(img).transpose(0, 3, 1, 2) - img_ref)
+    assert img_ref.std() > 1e-3
+    assert diff.max() < 1e-3, (diff.max(), img_ref.std())
+
+    d_kwargs = dict(c_dim=c_dim, img_resolution=32, img_channels=3,
+                    channel_base=1 << 10, channel_max=32,
+                    epilogue_kwargs=dict(mbstd_group_size=2))
+    torch.manual_seed(1)
+    D = ref_networks.Discriminator(**d_kwargs)
+    D.eval()
+    imgs = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        s_ref = D(torch.from_numpy(imgs), torch.from_numpy(c)).numpy()
+    d_vars, un = map_discriminator_params(flatten_module_state(D.__dict__))
+    assert not un, un
+    s = np.asarray(Discriminator(build_discriminator_config(d_kwargs)).apply(
+        d_vars, jnp.asarray(imgs.transpose(0, 2, 3, 1)), jnp.asarray(c)))
+    np.testing.assert_allclose(s.reshape(-1), s_ref.reshape(-1), rtol=1e-3,
+                               atol=1e-4)
