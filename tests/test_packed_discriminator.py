@@ -68,6 +68,7 @@ def test_packed_discriminator_matches_unpacked(force_packed):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_packed_discriminator_grads_match(force_packed):
     """Training pattern: d(scores)/d(params, img) through the packed
     tower (custom-VJP dconv + modconv adjoints, dw via the XLA
