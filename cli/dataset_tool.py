@@ -66,6 +66,23 @@ def display(dataset_dir, resolution, num=9):
     print(f"{len(ds)} images; preview -> {out}")
 
 
+def extract(dataset_dir, out_dir, resolution, num=None):
+    """Dump prepared dataset items back to PNGs (reference dataset_tool.py
+    extract subcommand)."""
+    from PIL import Image
+
+    from morphganformer_tpu.data.dataset import ImageFolderDataset
+
+    ds = ImageFolderDataset(dataset_dir, resolution)
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(ds) if num is None else min(num, len(ds))
+    for i in range(n):
+        img = ds[i][0]                              # [H, W, C] uint8
+        Image.fromarray(img).save(
+            os.path.join(out_dir, f"img{i:08d}.png"))
+    print(f"extracted {n} images -> {out_dir}")
+
+
 def compare(dir_a, dir_b, resolution, max_errors=10):
     """Item-by-item diff (reference dataset_tool.py compare subcommand)."""
     from morphganformer_tpu.data.dataset import ImageFolderDataset
@@ -110,6 +127,12 @@ def main():
     cp.add_argument("dir_b")
     cp.add_argument("--resolution", type=int, required=True)
 
+    ex = sub.add_parser("extract")
+    ex.add_argument("dataset_dir")
+    ex.add_argument("out_dir")
+    ex.add_argument("--resolution", type=int, required=True)
+    ex.add_argument("--num", type=int, default=None)
+
     args = p.parse_args()
     if args.cmd == "create_from_images":
         create_from_images(args.out_dir, args.in_dir, args.resolution,
@@ -118,6 +141,8 @@ def main():
         display(args.dataset_dir, args.resolution)
     elif args.cmd == "compare":
         sys.exit(1 if compare(args.dir_a, args.dir_b, args.resolution) else 0)
+    elif args.cmd == "extract":
+        extract(args.dataset_dir, args.out_dir, args.resolution, args.num)
 
 
 if __name__ == "__main__":

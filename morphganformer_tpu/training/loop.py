@@ -117,6 +117,22 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
                                    num_shards=jax.process_count(),
                                    seed=l_cfg.seed)
 
+    # Module summaries (reference print_module_summary at training start,
+    # training_loop.py:135-141) — abstract trace, no compute; written to
+    # the run dir and stdout on the main process only.
+    if jax.process_index() == 0:
+        from morphganformer_tpu.utils.summary import (discriminator_summary,
+                                                      generator_summary)
+        try:
+            summary = (generator_summary(g_cfg) + "\n"
+                       + discriminator_summary(d_cfg))
+            with open(os.path.join(l_cfg.run_dir, "module_summary.txt"),
+                      "w") as f:
+                f.write(summary)
+            print(summary)
+        except Exception as e:  # pragma: no cover - purely informational
+            print(f"(module summary unavailable: {e})")
+
     mesh = make_data_mesh() if use_mesh and jax.device_count() > 1 else None
     trainer = GANTrainer(g_cfg, d_cfg, t_cfg, mesh=mesh)
     state = trainer.init_state(seed=l_cfg.seed)

@@ -160,3 +160,40 @@ def test_warp_identity_and_translation():
     dst[:3] += 2.0
     out = piecewise_affine_warp(img, pts, dst)
     assert not np.allclose(out[8:24, 8:24], img[8:24, 8:24])
+
+
+def test_dataset_tool_extract(tmp_path):
+    """extract round-trips prepared items back to PNGs (reference
+    dataset_tool.py extract subcommand)."""
+    from PIL import Image
+
+    import cli.dataset_tool as DT
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            src / f"a{i}.png")
+    ds = tmp_path / "ds"
+    out = tmp_path / "out"
+    DT.create_from_images(str(ds), str(src), 32)
+    DT.extract(str(ds), str(out), 32, num=2)
+    files = sorted(out.glob("*.png"))
+    assert len(files) == 2
+    assert Image.open(files[0]).size == (32, 32)
+
+
+def test_module_summaries():
+    """Shape-regression harness (reference print_module_summary,
+    SURVEY.md §4.4): tabulate both networks and spot-check layer paths."""
+    from morphganformer_tpu.models.config import DiscriminatorConfig
+    from morphganformer_tpu.utils.summary import (discriminator_summary,
+                                                  generator_summary)
+
+    g = generator_summary(small_cfg())
+    assert "mapping" in g and "synth" in g and "Generator" in g
+    d = discriminator_summary(DiscriminatorConfig(
+        img_resolution=16, channel_base=256, channel_max=32,
+        mbstd_group_size=2))
+    assert "b16" in d and "b4" in d
