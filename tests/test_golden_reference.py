@@ -473,3 +473,38 @@ def test_conditional_generator_and_discriminator_match_reference(
         d_vars, jnp.asarray(imgs.transpose(0, 2, 3, 1)), jnp.asarray(c)))
     np.testing.assert_allclose(s.reshape(-1), s_ref.reshape(-1), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_adam_step_matches_torch():
+    """The training optimizer (optax.adam incl. the lazy-regularization
+    lr/beta rescale, train_step.py::make_optimizer mirroring
+    training_loop.py:166-170) must take the same step torch.optim.Adam
+    takes — three consecutive steps compared."""
+    import jax.numpy as jnp
+    import optax
+
+    from morphganformer_tpu.training.train_step import make_optimizer
+
+    rng = np.random.RandomState(23)
+    p0 = rng.randn(7, 5).astype(np.float32)
+    grads = [rng.randn(7, 5).astype(np.float32) for _ in range(3)]
+    lr, b1, b2, eps, interval = 0.002, 0.0, 0.99, 1e-8, 4
+
+    mb = interval / (interval + 1)
+    pt = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt_t = torch.optim.Adam([pt], lr=lr * mb, betas=(b1 ** mb, b2 ** mb),
+                             eps=eps)
+    for g in grads:
+        opt_t.zero_grad()
+        pt.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+
+    opt_j = make_optimizer(lr, b1, b2, eps, interval)
+    state = opt_j.init(jnp.asarray(p0))
+    pj = jnp.asarray(p0)
+    for g in grads:
+        upd, state = opt_j.update(jnp.asarray(g), state, pj)
+        pj = optax.apply_updates(pj, upd)
+
+    np.testing.assert_allclose(np.asarray(pj), pt.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
