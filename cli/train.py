@@ -152,7 +152,13 @@ def main(argv=None):
                    help="host:port for manual multi-host rendezvous")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--raw-cache", action="store_true",
+                   help="decode the dataset once into a raw memmap cache "
+                        "(disk = uncompressed dataset size; removes PNG "
+                        "decode from the training loop)")
     args = p.parse_args(argv)
+    if args.raw_cache:
+        os.environ["MGT_RAW_CACHE"] = "1"
 
     if args.multihost or args.coordinator:
         from morphganformer_tpu.parallel.launch import initialize_distributed

@@ -100,22 +100,35 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
                   f, indent=2, default=str)
 
     dataset = ImageFolderDataset(dataset_path, g_cfg.img_resolution)
-    try:
-        # Prefer the native C++ threaded loader; fall back to PIL.
-        from morphganformer_tpu.data.native_loader import (
-            native_available, native_infinite_batches)
-        if native_available() and not dataset.use_labels:
-            batches = native_infinite_batches(
+    batches = None
+    if os.environ.get("MGT_RAW_CACHE") == "1" and not dataset.use_labels:
+        # Opt-in decode-once memmap cache (data/raw_cache.py): removes
+        # PNG decode from the steady-state loop entirely.
+        try:
+            from morphganformer_tpu.data.raw_cache import raw_infinite_batches
+            batches = raw_infinite_batches(
                 dataset_path, g_cfg.img_resolution, t_cfg.batch_size,
                 shard_index=jax.process_index(),
                 num_shards=jax.process_count(), seed=l_cfg.seed)
-        else:
-            raise ImportError
-    except Exception:
-        batches = infinite_batches(dataset, t_cfg.batch_size,
-                                   shard_index=jax.process_index(),
-                                   num_shards=jax.process_count(),
-                                   seed=l_cfg.seed)
+        except Exception as e:
+            print(f"(raw cache unavailable, falling back: {e})")
+    if batches is None:
+        try:
+            # Prefer the native C++ threaded loader; fall back to PIL.
+            from morphganformer_tpu.data.native_loader import (
+                native_available, native_infinite_batches)
+            if native_available() and not dataset.use_labels:
+                batches = native_infinite_batches(
+                    dataset_path, g_cfg.img_resolution, t_cfg.batch_size,
+                    shard_index=jax.process_index(),
+                    num_shards=jax.process_count(), seed=l_cfg.seed)
+            else:
+                raise ImportError
+        except Exception:
+            batches = infinite_batches(dataset, t_cfg.batch_size,
+                                       shard_index=jax.process_index(),
+                                       num_shards=jax.process_count(),
+                                       seed=l_cfg.seed)
 
     # Module summaries (reference print_module_summary at training start,
     # training_loop.py:135-141) — abstract trace, no compute; written to

@@ -115,3 +115,52 @@ def test_native_infinite_batches_drange(png_dir):
     assert x.shape == (4, 32, 32, 3)
     assert x.dtype == np.float32
     assert -1.0 <= x.min() and x.max() <= 1.0
+
+
+def test_raw_cache_roundtrip_and_sharding(tmp_path):
+    """data/raw_cache.py: decode-once memmap cache returns the same
+    pixels as the PNG dataset, shards partition the index space, and a
+    changed source rebuilds (digest key)."""
+    import time
+
+    from PIL import Image
+
+    from morphganformer_tpu.data.raw_cache import (build_raw_cache,
+                                                   raw_infinite_batches)
+
+    res = 16
+    d = tmp_path / "ds" / str(res)
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (res, res, 3), np.uint8) for _ in range(6)]
+    for i, a in enumerate(imgs):
+        Image.fromarray(a).save(d / f"img{i:04d}.png")
+
+    raw = build_raw_cache(str(tmp_path / "ds"), res)
+    data = np.load(raw, mmap_mode="r")
+    assert data.shape == (6, res, res, 3)
+    np.testing.assert_array_equal(np.asarray(data), np.stack(imgs))
+    # Idempotent: same digest reuses the file.
+    mtime = os.path.getmtime(raw)
+    assert build_raw_cache(str(tmp_path / "ds"), res) == raw
+    assert os.path.getmtime(raw) == mtime
+
+    # Batches come from the cache, scaled to drange; shards are disjoint.
+    seen = {}
+    for shard in (0, 1):
+        gen = raw_infinite_batches(str(tmp_path / "ds"), res, batch_size=2,
+                                   shard_index=shard, num_shards=2, seed=3)
+        batch, labels = next(gen)
+        assert batch.shape == (2, res, res, 3) and labels.shape == (2, 0)
+        back = np.round((batch + 1.0) * 127.5).astype(np.uint8)
+        idx = [next(i for i, im in enumerate(imgs) if np.array_equal(b, im))
+               for b in back]
+        seen[shard] = set(i % 2 for i in idx)
+    assert seen[0] == {0} and seen[1] == {1}
+
+    # Source change -> digest mismatch -> rebuild.
+    time.sleep(1.1)  # mtime resolution
+    Image.fromarray(imgs[0][::-1].copy()).save(d / "img0000.png")
+    raw2 = build_raw_cache(str(tmp_path / "ds"), res)
+    data2 = np.load(raw2, mmap_mode="r")
+    np.testing.assert_array_equal(np.asarray(data2[0]), imgs[0][::-1])
