@@ -197,3 +197,27 @@ def test_module_summaries():
         img_resolution=16, channel_base=256, channel_max=32,
         mbstd_group_size=2))
     assert "b16" in d and "b4" in d
+
+
+def test_make_video_gif_and_list(tmp_path):
+    """make_video assembles frames (dir glob and --list file) into an
+    animated GIF (reference create_video_frm_images*.py contract)."""
+    from PIL import Image
+
+    import cli.make_video as MV
+
+    rng = np.random.RandomState(5)
+    frames = []
+    for i in range(4):
+        p = tmp_path / f"f{i:03d}.png"
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(p)
+        frames.append(str(p))
+    out = str(tmp_path / "seq.gif")
+    MV.write_video(MV.collect_frames(images=str(tmp_path)), out, fps=8)
+    img = Image.open(out)
+    assert img.is_animated and img.n_frames == 4
+
+    lst = tmp_path / "frames.txt"
+    lst.write_text("\n".join(frames[:2]) + "\n")
+    got = MV.collect_frames(list_file=str(lst))
+    assert got == frames[:2]
