@@ -38,6 +38,10 @@ def packed_d_block_eligible(cfg, res) -> bool:
 
     import jax
 
+    from morphganformer_tpu.ops.packed_override import packed_paths_disabled
+
+    if packed_paths_disabled():
+        return False   # second-order autodiff context (R1 reg)
     if os.environ.get("MGT_PACKED_D", "1") != "1":
         return False
     if jax.default_backend() != "tpu":

@@ -58,6 +58,10 @@ def packed_block_eligible(cfg: GANformerConfig, res: int,
     disappear. MGT_PACKED_SYNTH=0 disables."""
     import os
 
+    from morphganformer_tpu.ops.packed_override import packed_paths_disabled
+
+    if packed_paths_disabled():
+        return False   # second-order autodiff context (PL reg)
     if os.environ.get("MGT_PACKED_SYNTH", "1") == "0":
         return False
     if jax.default_backend() != "tpu":

@@ -740,6 +740,10 @@ def fused_synth_conv_eligible(x_shape, co, groups) -> bool:
 
     import jax
 
+    from morphganformer_tpu.ops.packed_override import packed_paths_disabled
+
+    if packed_paths_disabled():
+        return False
     if os.environ.get("MGT_FUSED_SYNTH", "0") != "1":
         return False
     if jax.default_backend() != "tpu":
@@ -758,6 +762,10 @@ def pallas_conv_eligible(x_shape, w_shape, groups) -> bool:
     run interpreted)."""
     import jax
 
+    from morphganformer_tpu.ops.packed_override import packed_paths_disabled
+
+    if packed_paths_disabled():
+        return False
     if jax.default_backend() != "tpu":
         return False
     if groups != 1:

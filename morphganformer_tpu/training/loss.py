@@ -128,7 +128,18 @@ def g_main_loss(model, d_model, g_vars, d_vars, z, c, rng, cfg: LossConfig):
 
 def g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
     """Path-length regularization (reference loss.py:92-107).
-    Returns (scalar, aux incl. new pl_mean)."""
+    Returns (scalar, aux incl. new pl_mean).
+
+    Traces with the packed pallas paths disabled: PL is a grad-of-grad
+    through synthesis and the packed kernels' custom VJPs are only
+    first-order differentiable. The stage runs at 1/g_reg_interval
+    frequency (lazy regularization), so the unpacked cost is amortized."""
+    from morphganformer_tpu.ops.packed_override import force_unpacked
+    with force_unpacked():
+        return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
+
+
+def _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
     batch = max(z.shape[0] // cfg.pl_batch_shrink, 1)
     z = z[:batch]
     c = c[:batch] if c is not None else None
@@ -174,7 +185,16 @@ def d_main_loss(model, d_model, g_vars, d_vars, real_img, z, c, rng,
 
 
 def d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
-    """R1 gradient penalty (reference loss.py:149-159)."""
+    """R1 gradient penalty (reference loss.py:149-159).
+
+    Traces with the packed pallas paths disabled (grad-of-grad through D;
+    see g_pl_loss). Runs at 1/d_reg_interval frequency."""
+    from morphganformer_tpu.ops.packed_override import force_unpacked
+    with force_unpacked():
+        return _d_r1_loss(d_model, d_vars, real_img, c, cfg)
+
+
+def _d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
     def logit_sum(img):
         return jnp.sum(d_model.apply(d_vars, img, c))
 
