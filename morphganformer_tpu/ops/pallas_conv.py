@@ -648,29 +648,27 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
                   else dx_pk.reshape(n, h, width, c)).astype(x.dtype)
 
     # Demodulation chain: d = rsqrt(e), e = s^2 @ wsq. Needs
-    # dd[n,o] = sum_hw g_pre * conv_out, with conv_out recovered from y.
+    # dd[n,o] = sum_hw g_pre * conv_out with conv_out = (act_inv(y)-nz-b)/d.
+    # mask * act_inv(y) == y EXACTLY on both lrelu branches (the gain/alpha
+    # factors cancel), so g_pre*act_inv(y) == g*y and
+    #   dd = (sum g*y - sum g_pre*nz - b * sum g_pre) / d
+    # — no conv_out recovery chain, no full-tensor division, no 1/alpha.
     dwsq = None
     if demodulate and (styles_p or w_p):
-        pre = jnp.where(y >= 0, y.astype(f32), y.astype(f32) / alpha) / gain
+        dd = lane_reduce(g.astype(f32) * y.astype(f32), o)     # [N,O]
         if noise is not None:
+            gp5 = grouped(g_pre.astype(f32), o)
             nz = noise.astype(f32)
-            if packed_io:
-                if nz.ndim == 3:
-                    nz = jnp.broadcast_to(
-                        nz.reshape(n, h, wg, pack, 1), (n, h, wg, pack, o)
-                    ).reshape(n, h, wg, pack * o)
-                else:
-                    nz = jnp.broadcast_to(
-                        nz.reshape(h, wg, pack, 1), (h, wg, pack, o)
-                    ).reshape(h, wg, pack * o)[None]
+            if nz.ndim == 3:
+                dd = dd - jnp.einsum("nhgpo,nhgp->no", gp5,
+                                     nz.reshape(n, h, wg, pack))
             else:
-                nz = nz[:, :, :, None] if nz.ndim == 3 else nz[None, :, :, None]
-            pre = pre - nz
+                dd = dd - jnp.einsum("nhgpo,hgp->no", gp5,
+                                     nz.reshape(h, wg, pack))
         if bias is not None:
-            b32 = bias.astype(f32)
-            pre = pre - (jnp.tile(b32, pack) if packed_io else b32)
-        conv_out = pre / d_bcast
-        dd = lane_reduce(g_pre.astype(f32) * conv_out, o)      # [N,O]
+            dd = dd - bias.astype(f32)[None] * lane_reduce(
+                g_pre.astype(f32), o)
+        dd = dd / d
         wsq = jnp.sum(jnp.square(w.astype(f32)), axis=(0, 1))  # [C,O]
         e = jnp.square(styles.astype(f32)) @ wsq
         de = dd * (-0.5) * jax.lax.rsqrt(e + 1e-8) / (e + 1e-8)  # d^3 = rsqrt/e
@@ -1378,23 +1376,24 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
 
     dwsq = None
     if demodulate and (styles_p or w_p):
-        pre = jnp.where(y >= 0, y.astype(f32), y.astype(f32) / alpha) / gain
+        # dd[n,o] = sum_p g_pre*conv_out; mask*act_inv(y) == y exactly, so
+        # dd = (sum g*y - sum g_pre*nz - b*sum g_pre)/d (see _modconv_bwd).
+        dd = lane_reduce(g.astype(f32) * y.astype(f32), Q, cout)  # [N,Cout]
         if noise is not None:
             h_out = noise.shape[-2]
+            gp5 = g_pre.astype(f32).reshape(n, h_out, wg, Q, cout)
             if noise.ndim == 3:
-                nz = jnp.broadcast_to(
-                    noise.astype(f32).reshape(n, h_out, wg, Q, 1),
-                    (n, h_out, wg, Q, cout)).reshape(n, h_out, wg, Q * cout)
-                pre = pre - nz
+                dd = dd - jnp.einsum(
+                    "nhgqo,nhgq->no", gp5,
+                    noise.astype(f32).reshape(n, h_out, wg, Q))
             else:
-                nz = jnp.broadcast_to(
-                    noise.astype(f32).reshape(h_out, wg, Q, 1),
-                    (h_out, wg, Q, cout)).reshape(h_out, wg, Q * cout)
-                pre = pre - nz[None]
+                dd = dd - jnp.einsum(
+                    "nhgqo,hgq->no", gp5,
+                    noise.astype(f32).reshape(h_out, wg, Q))
         if bias is not None:
-            pre = pre - jnp.tile(bias.astype(f32), Q)
-        conv_out = pre / d_p[:, None, None, :]
-        dd = lane_reduce(g_pre.astype(f32) * conv_out, Q, cout)  # [N,Cout]
+            dd = dd - bias.astype(f32)[None] * lane_reduce(
+                g_pre.astype(f32), Q, cout)
+        dd = dd / d
         wsq = jnp.sum(jnp.square(w.astype(f32)), axis=(0, 1))
         ee = jnp.square(s.astype(f32)) @ wsq
         de = dd * (-0.5) * jax.lax.rsqrt(ee + 1e-8) / (ee + 1e-8)
