@@ -375,11 +375,20 @@ class GANTrainer:
 
 def dryrun_train_step(n_devices: int) -> None:
     """Tiny end-to-end multi-device training step used by the driver's
-    multichip dry run and by tests."""
+    multichip dry run and by tests.
+
+    With >= 4 (even) devices the mesh is ('data', 'model') with a 2-way
+    model axis: the batch shards over 'data' (the reference's DDP
+    equivalent, run_network.py:394-402) while every even-sized weight's
+    output-channel axis shards over 'model' (parallel/tp.py) — the dry run
+    then validates the dp x tp program, including the GSPMD-inserted
+    collectives, not just plain DP."""
     devices = jax.devices()[:n_devices]
     assert len(devices) == n_devices, \
         f"need {n_devices} devices, have {len(jax.devices())}"
-    mesh = make_data_mesh(devices)
+    from morphganformer_tpu.parallel.tp import make_mesh
+    model_parallel = 2 if (n_devices >= 4 and n_devices % 2 == 0) else 1
+    mesh = make_mesh(devices, model_parallel)
 
     from morphganformer_tpu.models.config import AttentionConfig, MappingConfig
     g_cfg = GANformerConfig(
@@ -391,17 +400,26 @@ def dryrun_train_step(n_devices: int) -> None:
                                 channel_max=32, mbstd_group_size=2)
     # batch_gpu=1 -> n_accum=2: the dry run exercises the microbatch scan
     # and the (None, 'data') sharding together.
-    cfg = TrainConfig(batch_size=2 * n_devices, batch_gpu=1)
+    data_size = n_devices // model_parallel
+    cfg = TrainConfig(batch_size=2 * data_size, batch_gpu=1)
 
     trainer = GANTrainer(g_cfg, d_cfg, cfg, mesh=mesh)
     with mesh:
         state = trainer.init_state(seed=0)
+        if model_parallel > 1:
+            # Non-vacuity: at least one weight really shards over 'model'.
+            sharded = [
+                leaf for leaf in jax.tree_util.tree_leaves(
+                    state["g"]["params"])
+                if "model" in getattr(leaf.sharding, "spec", P())]
+            assert sharded, "no parameter sharded over the model axis"
         real = jax.random.normal(jax.random.PRNGKey(0),
-                                 (2 * n_devices, 16, 16, 3))
+                                 (2 * data_size, 16, 16, 3))
         state, stats = trainer.train_iteration(state, real,
                                                jax.random.PRNGKey(1), step=0)
         jax.block_until_ready(state["g"]["params"])
     for k, v in stats.items():
         assert np.isfinite(float(jnp.mean(v))), f"non-finite stat {k}"
-    print(f"dryrun_multichip ok on {n_devices} devices; "
+    mesh_desc = dict(zip(mesh.axis_names, mesh.devices.shape))
+    print(f"dryrun_multichip ok on {n_devices} devices (mesh {mesh_desc}); "
           f"stats: { {k: round(float(jnp.mean(v)), 4) for k, v in stats.items()} }")
