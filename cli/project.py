@@ -47,11 +47,12 @@ def make_extra_terms(weights, args):
                 print("lpips: real calibration heads x placeholder tower "
                       "(torchvision tower weights unavailable)")
             extra[name] = make_lpips_loss(params, args.lpips_net)
-        elif name == "wing":
+        elif name in ("wing", "awing"):
             from morphganformer_tpu.losses.landmarks import (
-                bundled_landmark_path, load_landmark_npz, make_landmark_fn,
-                random_landmark_params)
-            from morphganformer_tpu.losses.wing import make_wing_loss_term
+                bundled_landmark_path, landmark_heatmaps, load_landmark_npz,
+                make_landmark_fn, random_landmark_params)
+            from morphganformer_tpu.losses.wing import (
+                make_adaptive_wing_loss_term, make_wing_loss_term)
             path = getattr(args, "landmark_weights", None)
             if path is None and not rand:
                 # Bundled synthetic-face-trained model (tools/
@@ -63,12 +64,19 @@ def make_extra_terms(weights, args):
                           "pass --landmark-weights for a real-data model")
             if path is None and not rand:
                 raise SystemExit(
-                    "loss term 'wing' needs --landmark-weights "
+                    f"loss term '{name}' needs --landmark-weights "
                     "(or --random-perceptual for a smoke run)")
             params = load_landmark_npz(path) if path else \
                 random_landmark_params()
-            extra[name] = make_wing_loss_term(
-                make_landmark_fn(params, temperature=0.05))
+            if name == "wing":
+                # Coordinate-space wing loss (1024_example_wing_loss.py).
+                extra[name] = make_wing_loss_term(
+                    make_landmark_fn(params, temperature=0.05))
+            else:
+                # Heatmap-space adaptive wing
+                # (1024_example_wing_loss_adaptive.py).
+                extra[name] = make_adaptive_wing_loss_term(
+                    lambda im, _p=params: landmark_heatmaps(_p, im))
         elif name == "facenet":
             from morphganformer_tpu.losses.facenet import (
                 make_facenet_loss, random_facenet_params)
@@ -131,9 +139,11 @@ def run(args):
     # 1024_example_wing_loss_perceptual_sqz_MSE.py:179:
     # all_loss = p + lamda*wing + beta*mse).
     if args.lamda is not None:
-        if "wing" not in weights:
+        wing_terms = [t for t in ("wing", "awing") if t in weights]
+        if not wing_terms:
             raise SystemExit("--lamda sets the wing weight; add wing to --loss")
-        weights["wing"] = args.lamda
+        for t in wing_terms:
+            weights[t] = args.lamda
     if args.beta is not None:
         if "mse" not in weights:
             raise SystemExit("--beta sets the mse weight; add mse to --loss")
@@ -190,7 +200,8 @@ def build_parser():
     p.add_argument("--img", required=True, help="Target photo path")
     p.add_argument("--loss", default="mse",
                    help='Loss stack spec, e.g. "mse", "lpips+mse", '
-                        '"lpips+0.01*wing+1*mse"')
+                        '"lpips+0.01*wing+1*mse". Terms: mse l1 psnr ssim '
+                        'lpips wing awing facenet arcface mdf lbp')
     p.add_argument("--path_to_gen", default="images/projection")
     p.add_argument("--size", type=int, default=None,
                    help="Compute the loss at this resolution (downsamples "

@@ -50,6 +50,19 @@ def adaptive_wing_loss(pred, target, omega=14.0, theta=0.5, epsilon=1.0,
     return jnp.mean(losses)
 
 
+def make_adaptive_wing_loss_term(heatmap_fn, omega=14.0, theta=0.5,
+                                 epsilon=1.0, alpha=2.1):
+    """Loss-stack term: adaptive wing loss between the landmark HEATMAPS of
+    the generated and the target image (the reference's
+    1024_example_wing_loss_adaptive.py applies AWing to heatmap-space
+    residuals, adaptive_wing_loss.py:12-39). heatmap_fn:
+    img NHWC [-1,1] -> [B, H, W, K] (losses/landmarks.py::landmark_heatmaps)."""
+    def loss(img, target):
+        return adaptive_wing_loss(heatmap_fn(img), heatmap_fn(target),
+                                  omega, theta, epsilon, alpha)
+    return loss
+
+
 def make_wing_loss_term(landmark_fn, target_landmarks=None, omega=10.0,
                         epsilon=2.0):
     """Loss-stack term: wing loss between predicted landmarks of the

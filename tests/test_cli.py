@@ -61,6 +61,26 @@ def test_project_cli_outputs_and_naming(ckpt_dir, tmp_path):
     assert res.best_loss < 1.0
 
 
+def test_project_adaptive_wing_term(ckpt_dir, tmp_path):
+    """--loss awing: heatmap-space adaptive wing loss
+    (reference 1024_example_wing_loss_adaptive.py), --lamda sets its
+    weight."""
+    import cli.generate as G
+    import cli.project as P
+
+    gen_dir = str(tmp_path / "gen")
+    G.run(ckpt_dir, gen_dir, images_num=1, truncation_psi=0.7, ratio=1.0)
+    out = str(tmp_path / "proj_awing")
+    args = P.build_parser().parse_args([
+        "--model", ckpt_dir, "--img", os.path.join(gen_dir, "sample_000000.png"),
+        "--loss", "awing+mse", "--lamda", "0.01", "--random-perceptual",
+        "--path_to_gen", out, "--step", "20", "--chunk", "20",
+        "--n_mean_latent", "64"])
+    res = P.run(args)
+    assert np.isfinite(res.best_loss)
+    assert glob.glob(os.path.join(out, "sample_*.png"))
+
+
 def test_project_init_latent_edit_mode(ckpt_dir, tmp_path):
     """edit_MSE-style sequential projection: start from a stored latent."""
     import cli.generate as G
@@ -160,6 +180,50 @@ def test_warp_identity_and_translation():
     dst[:3] += 2.0
     out = piecewise_affine_warp(img, pts, dst)
     assert not np.allclose(out[8:24, 8:24], img[8:24, 8:24])
+
+
+def test_warp_morphs_cli(tmp_path):
+    """warp_morphs CLI contract: CSV-landmark mode writes <name>_warped.png
+    (reference 1024_warp_morphs.py workflow), batch-list mode too."""
+    from PIL import Image
+
+    import cli.warp_morphs as W
+
+    rng = np.random.RandomState(0)
+    size = 64
+    img = (rng.rand(size, size, 3) * 255).astype("uint8")
+    morph_path = str(tmp_path / "pair_morph.png")
+    Image.fromarray(img).save(morph_path)
+
+    base = rng.rand(68, 2) * (size * 0.6) + size * 0.2   # interior points
+    def save_csv(name, pts):
+        p = str(tmp_path / name)
+        np.savetxt(p, pts, delimiter=",")
+        return p
+
+    csv_m = save_csv("m.csv", base)
+    csv_a = save_csv("a.csv", base + 1.5)
+    csv_b = save_csv("b.csv", base - 1.5)   # average == base -> near-identity
+
+    out = str(tmp_path / "warped")
+    args = W.build_parser().parse_args([
+        "--morph", morph_path, "--landmarks-morph", csv_m,
+        "--landmarks-a", csv_a, "--landmarks-b", csv_b, "--out", out])
+    outputs = W.run(args)
+    assert outputs == [os.path.join(out, "pair_morph_warped.png")]
+    warped = np.asarray(Image.open(outputs[0]))
+    assert warped.shape == img.shape
+    # avg(a, b) == morph landmarks -> identity warp (interior preserved).
+    assert np.mean(np.abs(warped[8:-8, 8:-8].astype(int)
+                          - img[8:-8, 8:-8].astype(int))) < 2.0
+
+    batch = str(tmp_path / "list.txt")
+    with open(batch, "w") as f:
+        f.write(f"{morph_path},{csv_a},{csv_b},{csv_m}\n")
+    args = W.build_parser().parse_args([
+        "--batch-list", batch, "--out", str(tmp_path / "warped2")])
+    outputs = W.run(args)
+    assert len(outputs) == 1 and os.path.exists(outputs[0])
 
 
 def test_dataset_tool_extract(tmp_path):
