@@ -27,6 +27,7 @@ def make_extra_terms(weights, args):
     builtin = {"mse", "l1", "psnr", "ssim"}
     need = [n for n in weights if n not in builtin]
     rand = getattr(args, "random_perceptual", False)
+    shared_params = {}  # weight trees used by more than one term
 
     def weight_path(flag, name):
         path = getattr(args, flag, None)
@@ -49,7 +50,7 @@ def make_extra_terms(weights, args):
             extra[name] = make_lpips_loss(params, args.lpips_net)
         elif name in ("wing", "awing"):
             from morphganformer_tpu.losses.landmarks import (
-                bundled_landmark_path, landmark_heatmaps, load_landmark_npz,
+                bundled_landmark_path, landmark_heatmaps_01, load_landmark_npz,
                 make_landmark_fn, random_landmark_params)
             from morphganformer_tpu.losses.wing import (
                 make_adaptive_wing_loss_term, make_wing_loss_term)
@@ -66,17 +67,23 @@ def make_extra_terms(weights, args):
                 raise SystemExit(
                     f"loss term '{name}' needs --landmark-weights "
                     "(or --random-perceptual for a smoke run)")
-            params = load_landmark_npz(path) if path else \
-                random_landmark_params()
+            # One params load shared by wing and awing (both may appear in
+            # one spec; the two terms close over the same tree).
+            if "landmarks" not in shared_params:
+                shared_params["landmarks"] = (load_landmark_npz(path)
+                                              if path else
+                                              random_landmark_params())
+            params = shared_params["landmarks"]
             if name == "wing":
                 # Coordinate-space wing loss (1024_example_wing_loss.py).
                 extra[name] = make_wing_loss_term(
                     make_landmark_fn(params, temperature=0.05))
             else:
-                # Heatmap-space adaptive wing
+                # Heatmap-space adaptive wing, on [0,1] sigmoid heatmaps —
+                # raw logits break AWing's alpha - y exponent
                 # (1024_example_wing_loss_adaptive.py).
                 extra[name] = make_adaptive_wing_loss_term(
-                    lambda im, _p=params: landmark_heatmaps(_p, im))
+                    lambda im, _p=params: landmark_heatmaps_01(_p, im))
         elif name == "facenet":
             from morphganformer_tpu.losses.facenet import (
                 make_facenet_loss, random_facenet_params)
@@ -132,7 +139,7 @@ def run(args):
         lr_rampdown=args.lr_rampdown, noise=args.noise,
         noise_ramp=args.noise_ramp, truncation_psi=args.truncation_psi,
         n_mean_latent=args.n_mean_latent, chunk=args.chunk,
-        w_plus=args.w_plus)
+        w_plus=args.w_plus, noise_regularize=args.noise_regularize)
 
     weights = parse_loss_spec(args.loss)
     # --lamda / --beta override the wing / mse term weights (reference
@@ -219,8 +226,13 @@ def build_parser():
     p.add_argument("--noise_ramp", type=float, default=0.75)
     p.add_argument("--ratio", type=float, default=1.0)
     p.add_argument("--truncation_psi", type=float, default=0.7)
-    # --noise_regularize deliberately dropped: the reference parses it but
-    # never calls its noise_regularize() (1024_example_MSE.py:31,203).
+    # The reference parses this flag but never calls its noise_regularize()
+    # (1024_example_MSE.py:31-59,203 — dead StyleGAN2-projector code). Here
+    # it WORKS: > 0 jointly optimizes the per-layer const-noise maps with
+    # the latent under the multi-scale autocorrelation penalty + per-step
+    # re-normalization. Default 0 (off) preserves the reference's effective
+    # behavior; its parsed-but-unused default was 1e5.
+    p.add_argument("--noise_regularize", type=float, default=0.0)
     p.add_argument("--w_plus", action="store_true",
                    help="Optimize per-layer W+ latents [k, num_ws, w_dim]")
     p.add_argument("--chunk", type=int, default=250)

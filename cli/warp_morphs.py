@@ -58,7 +58,11 @@ def _predictor(args):
         x = jnp.asarray(img[None] / 127.5 - 1.0)
         unit = np.asarray(fn(x))[0]          # [68, 2] in [0, 1], (x, y)
         h, w = img.shape[:2]
-        return unit * np.asarray([w - 1, h - 1], dtype=np.float64)
+        # Scale by size (not size-1): the library convention
+        # (make_landmark_fn(params, image_size) multiplies by image_size,
+        # with soft_argmax cell centers at (i+0.5)/n) — keeps predicted
+        # landmarks consistent with library-produced ones.
+        return unit * np.asarray([w, h], dtype=np.float64)
 
     return predict
 
@@ -96,6 +100,7 @@ def run(args):
 
     predict = _predictor(args) if args.predict_landmarks else None
     outputs = []
+    used_paths = set()
     for morph_path, csv_m, csv_a, csv_b, img_a, img_b in jobs:
         morph_img = _load_img(morph_path)
         if csv_m:
@@ -114,6 +119,10 @@ def run(args):
         warped = _warp_one(morph_img, lm_m, lm_a, lm_b)
         name = os.path.splitext(os.path.basename(morph_path))[0]
         out_path = os.path.join(args.out, f"{name}_warped.png")
+        if out_path in used_paths:  # same basename from another directory
+            out_path = os.path.join(
+                args.out, f"{name}_{len(outputs):03d}_warped.png")
+        used_paths.add(out_path)
         _save_img(out_path, warped)
         outputs.append(out_path)
         print(f"saved {out_path}")

@@ -12,6 +12,7 @@ from morphganformer_tpu.losses.stack import (  # noqa: F401
 )
 from morphganformer_tpu.losses.wing import (  # noqa: F401
     adaptive_wing_loss,
+    make_adaptive_wing_loss_term,
     make_wing_loss_term,
     wing_loss,
 )

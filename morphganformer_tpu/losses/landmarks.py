@@ -47,6 +47,15 @@ def landmark_heatmaps(params: Dict, x):
     return y + params["head_b"][None, None, None, :]
 
 
+def landmark_heatmaps_01(params: Dict, x):
+    """landmark_heatmaps squashed to [0, 1] with sigmoid — the space the
+    model is trained in (tools/train_landmarks.py matches sigmoid(logits)
+    to unit-peak gaussians) and the space heatmap losses assume (the
+    adaptive wing loss's exponent alpha - y needs y in [0, 1], reference
+    adaptive_wing_loss.py:18-39)."""
+    return jax.nn.sigmoid(landmark_heatmaps(params, x))
+
+
 def soft_argmax(heatmaps, temperature=1.0):
     """Differentiable heatmap -> (x, y) coordinates in [0, 1].
     heatmaps: [B, H, W, K] -> [B, K, 2]."""

@@ -56,7 +56,10 @@ def make_adaptive_wing_loss_term(heatmap_fn, omega=14.0, theta=0.5,
     the generated and the target image (the reference's
     1024_example_wing_loss_adaptive.py applies AWing to heatmap-space
     residuals, adaptive_wing_loss.py:12-39). heatmap_fn:
-    img NHWC [-1,1] -> [B, H, W, K] (losses/landmarks.py::landmark_heatmaps)."""
+    img NHWC [-1,1] -> [B, H, W, K] heatmaps IN [0, 1]
+    (losses/landmarks.py::landmark_heatmaps_01 — NOT the raw logits: the
+    adaptive exponent p = alpha - y needs y in [0, 1]; logit-scale targets
+    make p < 1 and the small-delta branch's gradient diverge at delta=0)."""
     def loss(img, target):
         return adaptive_wing_loss(heatmap_fn(img), heatmap_fn(target),
                                   omega, theta, epsilon, alpha)

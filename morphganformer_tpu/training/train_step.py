@@ -377,17 +377,19 @@ def dryrun_train_step(n_devices: int) -> None:
     """Tiny end-to-end multi-device training step used by the driver's
     multichip dry run and by tests.
 
-    With >= 4 (even) devices the mesh is ('data', 'model') with a 2-way
-    model axis: the batch shards over 'data' (the reference's DDP
+    With >= 4 devices divisible by 4 the mesh is ('data', 'model') with a
+    2-way model axis: the batch shards over 'data' (the reference's DDP
     equivalent, run_network.py:394-402) while every even-sized weight's
     output-channel axis shards over 'model' (parallel/tp.py) — the dry run
     then validates the dp x tp program, including the GSPMD-inserted
-    collectives, not just plain DP."""
+    collectives, not just plain DP. (Divisible by 4, not just even: the
+    data axis must stay even so the per-round microbatch satisfies the
+    mbstd_group_size=2 divisibility check.)"""
     devices = jax.devices()[:n_devices]
     assert len(devices) == n_devices, \
         f"need {n_devices} devices, have {len(jax.devices())}"
     from morphganformer_tpu.parallel.tp import make_mesh
-    model_parallel = 2 if (n_devices >= 4 and n_devices % 2 == 0) else 1
+    model_parallel = 2 if (n_devices >= 4 and n_devices % 4 == 0) else 1
     mesh = make_mesh(devices, model_parallel)
 
     from morphganformer_tpu.models.config import AttentionConfig, MappingConfig

@@ -108,3 +108,32 @@ def test_wing_loss_gradient_pulls_toward_target(landmark_fn):
     step = -np.sign(float(g)) * 2.0
     l1 = float(loss(step))
     assert l1 < l0, f"wing loss did not decrease: {l0} -> {l1} (grad {g})"
+
+
+def test_awing_term_gradient_finite_at_convergence():
+    """Regression: the awing projection term must run on [0,1] sigmoid
+    heatmaps (landmark_heatmaps_01). With the TRAINED weights, raw logits
+    exceed alpha - 1, making p = alpha - y negative and the small-delta
+    gradient non-finite exactly as the residual -> 0 — i.e. projection
+    NaNs as it converges."""
+    import jax
+    import jax.numpy as jnp
+
+    from morphganformer_tpu.losses.landmarks import (
+        landmark_heatmaps, landmark_heatmaps_01, load_landmark_npz)
+    from morphganformer_tpu.losses.wing import make_adaptive_wing_loss_term
+
+    params = load_landmark_npz(WEIGHTS)
+    rng = np.random.RandomState(0)
+    target = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+
+    term01 = make_adaptive_wing_loss_term(
+        lambda im: landmark_heatmaps_01(params, im))
+    g = jax.grad(lambda im: term01(im, target))(target)  # delta == 0 exactly
+    assert bool(jnp.all(jnp.isfinite(g))), "awing grad blew up at delta=0"
+
+    # The raw-logit wiring this guards against really is non-finite here.
+    term_logits = make_adaptive_wing_loss_term(
+        lambda im: landmark_heatmaps(params, im))
+    g_bad = jax.grad(lambda im: term_logits(im, target))(target)
+    assert not bool(jnp.all(jnp.isfinite(g_bad)))
