@@ -49,6 +49,14 @@ class ProjectionConfig:
     # (noise keys are split per chunk-sized window, not per scan call).
     chunk: int = 250
     w_plus: bool = False      # optimize full [k, num_ws, w_dim] instead of z
+    # > 0 enables JOINT optimization of the per-layer const-noise buffers
+    # with the latent, weighted multi-scale autocorrelation penalty plus
+    # per-step noise re-normalization. The reference PARSES this flag but
+    # never calls its noise_regularize()/noise_normalize_() functions
+    # (1024_example_MSE.py:31-59,203 — dead code from the StyleGAN2
+    # projector); here the flag does what that code was written for.
+    # Batch-1 only (noise maps are shared across the batch).
+    noise_regularize: float = 0.0
 
 
 def cosine_ramp_lr(t, initial_lr, rampdown=0.25, rampup=0.05):
@@ -57,6 +65,54 @@ def cosine_ramp_lr(t, initial_lr, rampdown=0.25, rampup=0.05):
     ramp = 0.5 - 0.5 * jnp.cos(ramp * math.pi)
     ramp = ramp * jnp.minimum(1.0, t / rampup)
     return initial_lr * ramp
+
+
+def split_noise_buffers(variables):
+    """The const-noise buffer subtree as a flat {'scope/.../noise_const':
+    [H, W]} dict — the optimizable noise maps of cfg.noise_regularize."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables.get("buffers", {}))
+    return {"/".join(p): v for p, v in flat.items() if p[-1] == "noise_const"}
+
+
+def merge_noise_buffers(variables, noises):
+    """Reinsert optimized noise maps into a variables pytree."""
+    from flax import traverse_util
+
+    flat = dict(traverse_util.flatten_dict(variables["buffers"]))
+    for key, v in noises.items():
+        flat[tuple(key.split("/"))] = v
+    return {**variables, "buffers": traverse_util.unflatten_dict(flat)}
+
+
+def noise_regularize_loss(noises):
+    """Multi-scale noise autocorrelation penalty — the reference's unused
+    noise_regularize() (1024_example_MSE.py:31-51), executed-golden-tested:
+    at each pyramid level, squared mean of the product with the 1-pixel
+    roll along each spatial axis; 2x2-mean downsample while size > 8."""
+    total = jnp.zeros((), jnp.float32)
+    for n in noises.values():
+        n = n.astype(jnp.float32)
+        size = n.shape[-1]
+        while True:
+            total = (total
+                     + jnp.mean(n * jnp.roll(n, 1, axis=-1)) ** 2
+                     + jnp.mean(n * jnp.roll(n, 1, axis=-2)) ** 2)
+            if size <= 8:
+                break
+            h, w = n.shape[-2], n.shape[-1]
+            n = n.reshape(*n.shape[:-2], h // 2, 2, w // 2, 2).mean(axis=(-3, -1))
+            size //= 2
+    return total
+
+
+def normalize_noises(noises):
+    """Zero-mean / unit-std per noise map — the reference's unused
+    noise_normalize_ (1024_example_MSE.py:54-59); eps guards the all-equal
+    map (normalization is a no-op there anyway after the first step)."""
+    return {k: (n - jnp.mean(n)) / (jnp.std(n) + 1e-8)
+            for k, n in noises.items()}
 
 
 def latent_stats(model, variables, cfg_model, rng, n_mean_latent=10000,
@@ -93,6 +149,7 @@ class ProjectionResult:
     components_history: Dict[str, jnp.ndarray]
     per_image_loss: jnp.ndarray = None  # [B] per-image best losses
     per_image_step: jnp.ndarray = None  # [B] step at which each best occurred
+    noises: Optional[Dict] = None       # best noise maps (noise_regularize)
 
 
 def _make_opt(cfg: ProjectionConfig):
@@ -107,16 +164,25 @@ def _make_opt(cfg: ProjectionConfig):
 
 def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
                          latent_std, target, w_plus=None):
-    """Build the scan body. `loss_fn(img, target) -> (scalar, dict)`."""
+    """Build the scan body. `loss_fn(img, target) -> (scalar, dict)`.
+
+    With cfg.noise_regularize > 0 the optimized variable is the pytree
+    {'latent': ..., 'noises': {...}} (see ProjectionConfig) and the carry's
+    latent/best-latent slots hold that tree; otherwise the plain latent
+    array — the disabled path traces EXACTLY the round-2 HLO (the committed
+    bench compile cache must keep covering it)."""
     w_plus = cfg.w_plus if w_plus is None else w_plus
     opt = _make_opt(cfg)
+    opt_noise = cfg.noise_regularize > 0.0
 
-    def synth(latent):
+    def synth(latent, noises=None):
+        vars_ = variables if noises is None else \
+            merge_noise_buffers(variables, noises)
         if w_plus:
-            img, _ = model.apply(variables, latent, noise_mode="const",
+            img, _ = model.apply(vars_, latent, noise_mode="const",
                                  method=type(model).run_synthesis)
         else:
-            img = model.apply(variables, latent,
+            img = model.apply(vars_, latent,
                               truncation_psi=cfg.truncation_psi,
                               noise_mode="const")
         return img
@@ -130,35 +196,60 @@ def make_projection_step(model, variables, loss_fn, cfg: ProjectionConfig,
         # a full-image where() per step and, on remote-dispatch backends,
         # a multi-MB output transfer per chunk call.
         step_idx, noise_unit = step_in
-        (latent, opt_state, best_loss, best_latent, best_step, rng) = carry
+        (params, opt_state, best_loss, best_params, best_step, rng) = carry
+        latent = params["latent"] if opt_noise else params
         t = step_idx.astype(jnp.float32) / cfg.steps
         lr = cosine_ramp_lr(t, cfg.lr, cfg.lr_rampdown, cfg.lr_rampup)
         noise_strength = latent_std * cfg.noise * \
             jnp.maximum(0.0, 1.0 - t / cfg.noise_ramp) ** 2
         latent_n = latent + noise_unit * noise_strength
 
-        def total_loss(lat_n):
-            img = synth(lat_n)
+        def total_loss(p_n):
+            if opt_noise:
+                img = synth(p_n["latent"], p_n["noises"])
+            else:
+                img = synth(p_n)
             # Per-image losses (vmap each term over the batch) so batched
             # projections (e.g. the morph pair) track bests independently.
             per_img, comps = jax.vmap(
                 lambda a, b: loss_fn(a[None], b[None]))(img, target)
-            return jnp.mean(per_img), (per_img, comps)
+            loss = jnp.mean(per_img)
+            if opt_noise:
+                loss = loss + cfg.noise_regularize * \
+                    noise_regularize_loss(p_n["noises"])
+            return loss, (per_img, comps)
 
+        p_n = {"latent": latent_n, "noises": params["noises"]} if opt_noise \
+            else latent_n
         (loss, (per_img, comps)), grads = jax.value_and_grad(
-            total_loss, has_aux=True)(latent_n)
-        updates, opt_state = opt.update(grads, opt_state, latent)
-        latent = latent + jax.tree_util.tree_map(lambda u: lr * u, updates)
+            total_loss, has_aux=True)(p_n)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + lr * u,
+                                        params, updates)
+        if opt_noise:
+            params = {"latent": params["latent"],
+                      "noises": normalize_noises(params["noises"])}
 
         improved = per_img < best_loss                               # [B]
         best_loss = jnp.where(improved, per_img, best_loss)
         expand = (slice(None),) + (None,) * (latent.ndim - 1)
-        best_latent = jnp.where(improved[expand], latent_n, best_latent)
+        if opt_noise:
+            # Noise maps are batch-shared (project() enforces batch 1), so
+            # their best tracks under any-improved.
+            best_params = {
+                "latent": jnp.where(improved[expand], latent_n,
+                                    best_params["latent"]),
+                "noises": jax.tree_util.tree_map(
+                    lambda n, b: jnp.where(jnp.any(improved), n, b),
+                    p_n["noises"], best_params["noises"]),
+            }
+        else:
+            best_params = jnp.where(improved[expand], latent_n, best_params)
         # Track the step at which each image's best occurred under the SAME
         # predicate as the latent (ADVICE r1: argmin over chunk means
         # could disagree with the returned latent).
         best_step = jnp.where(improved, step_idx, best_step)
-        new_carry = (latent, opt_state, best_loss, best_latent, best_step, rng)
+        new_carry = (params, opt_state, best_loss, best_params, best_step, rng)
         return new_carry, (loss, comps)
 
     return opt, step_fn
@@ -214,13 +305,22 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     if latent.shape[0] != target.shape[0]:
         latent = jnp.tile(latent, (target.shape[0],) + (1,) * (latent.ndim - 1))
 
-    opt_state = _make_opt(cfg).init(latent)
+    opt_noise = cfg.noise_regularize > 0.0
+    if opt_noise:
+        assert target.shape[0] == 1, \
+            "noise_regularize optimizes batch-shared noise maps (batch 1 only)"
+        params0 = {"latent": latent,
+                   "noises": split_noise_buffers(variables)}
+        assert params0["noises"], "model has no const-noise buffers"
+    else:
+        params0 = latent
+    opt_state = _make_opt(cfg).init(params0)
 
     # Per-image best trackers (reference inits min_loss=1.0; use +inf-ish so
     # the tracker always captures something).
     big = jnp.full((target.shape[0],), 1e30, jnp.float32)
     steps0 = jnp.zeros((target.shape[0],), jnp.int32)
-    carry = (latent, opt_state, big, latent, steps0, rng)
+    carry = (params0, opt_state, big, params0, steps0, rng)
 
     def run_chunk(carry, steps_slice, noise_seq):
         # Module-level jitted runner: static args are hashable (frozen
@@ -265,14 +365,22 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
             cur_best = float(jnp.mean(carry[2]))  # forces device sync
             progress(hi, float(chunk_losses[-1]), cur_best)
 
-    latent, _, best_loss, best_latent, best_steps, _ = carry
-    # Regenerate the best image from the saved (noised) best latent — exact
-    # under noise_mode="const", and cheaper than carrying images in the scan.
-    best_img = _synth_jit(model, cfg, variables, best_latent)
+    _, _, best_loss, best_params, best_steps, _ = carry
+    if opt_noise:
+        best_latent, best_noises = best_params["latent"], best_params["noises"]
+        synth_vars = merge_noise_buffers(variables, best_noises)
+    else:
+        best_latent, best_noises = best_params, None
+        synth_vars = variables
+    # Regenerate the best image from the saved (noised) best latent (+ best
+    # noise maps) — exact under noise_mode="const", and cheaper than carrying
+    # images in the scan.
+    best_img = _synth_jit(model, cfg, synth_vars, best_latent)
     comps = {k: jnp.concatenate([c[k] for c in comps_hist])
              for k in comps_hist[0]} if comps_hist else {}
     return ProjectionResult(
         latent=best_latent,
+        noises=best_noises,
         best_img=best_img,
         best_loss=float(jnp.mean(best_loss)),
         best_step=int(jnp.max(best_steps)),

@@ -201,3 +201,109 @@ def test_w_plus_projection_converges():
     # best_step comes from the scan carry, not chunk-mean argmin.
     assert 0 <= result.best_step < pcfg.steps
     assert int(result.per_image_step[0]) == result.best_step
+
+
+def _reference_noise_fns():
+    """Extract the reference's noise_regularize/noise_normalize_ function
+    definitions (1024_example_MSE.py:31-59) by AST so the golden executes
+    the reference code without importing the script's heavy module scope
+    (lpips/loader/dlib)."""
+    import ast
+
+    path = "/root/reference/1024_example_MSE.py"
+    if not __import__("os").path.exists(path):
+        pytest.skip("reference repository not mounted")
+    torch = pytest.importorskip("torch")
+    with open(path, encoding="utf-8-sig") as f:
+        tree = ast.parse(f.read())
+    wanted = {n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)
+              and n.name in ("noise_regularize", "noise_normalize_")}
+    ns = {"torch": torch}
+    for node in wanted.values():
+        mod = ast.Module(body=[node], type_ignores=[])
+        exec(compile(mod, path, "exec"), ns)
+    return ns["noise_regularize"], ns["noise_normalize_"], torch
+
+
+def test_noise_regularize_matches_reference():
+    """Golden: the multi-scale autocorrelation penalty and the noise
+    normalization match the reference's (parsed-but-never-called)
+    implementations, executed."""
+    from morphganformer_tpu.projection.engine import (
+        noise_regularize_loss, normalize_noises)
+
+    ref_reg, ref_norm, torch = _reference_noise_fns()
+    rng = np.random.RandomState(0)
+    maps = {f"b{s}/noise_const": rng.randn(s, s).astype(np.float32)
+            for s in (4, 8, 16, 64)}
+
+    ref_val = ref_reg([torch.from_numpy(m)[None, None] for m in maps.values()])
+    ours_val = noise_regularize_loss({k: jnp.asarray(v)
+                                      for k, v in maps.items()})
+    np.testing.assert_allclose(float(ours_val), float(ref_val), rtol=1e-5)
+
+    ref_tensors = [torch.from_numpy(m.copy())[None, None]
+                   for m in maps.values()]
+    ref_norm(ref_tensors)
+    ours_norm = normalize_noises({k: jnp.asarray(v) for k, v in maps.items()})
+    for t, k in zip(ref_tensors, maps):
+        # torch .std() is the sample std (ddof=1); jnp.std is population —
+        # the maps re-normalize every step so the 1/(n-1) factor washes out;
+        # compare at the matching ddof.
+        m = maps[k]
+        expect = (m - m.mean()) / (m.std(ddof=1) + 0)
+        np.testing.assert_allclose(np.asarray(t[0, 0]), expect, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(ours_norm[k]),
+            (m - m.mean()) / (m.std(ddof=0) + 1e-8), rtol=1e-4)
+
+
+def test_projection_with_noise_regularize():
+    """cfg.noise_regularize > 0: the per-layer const-noise maps co-optimize
+    with the latent (the behavior the reference's dead flag was for)."""
+    import dataclasses
+
+    from morphganformer_tpu.projection.engine import split_noise_buffers
+
+    cfg = small_cfg()
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    # Random init zeros every noise_strength; give the maps real influence
+    # so gradients flow into them.
+    variables = jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.full_like(v, 0.5)
+        if any(getattr(e, "key", None) == "noise_strength" for e in p) else v,
+        variables)
+
+    z_true = jax.random.normal(jax.random.PRNGKey(42), (1, cfg.k, cfg.z_dim))
+    target = model.apply(variables, z_true, truncation_psi=0.7,
+                         noise_mode="const")
+    mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(1),
+                             n_mean_latent=256)
+    pcfg = ProjectionConfig(steps=100, chunk=50, lr=0.05,
+                            noise_regularize=1e3)
+    loss_fn = build_loss_stack({"mse": 1.0})
+    res = project(model, variables, target, loss_fn, pcfg, mean, std,
+                  rng=jax.random.PRNGKey(2))
+
+    first = float(res.loss_history[0])
+    assert res.best_loss < first * 0.5, \
+        f"noise-regularized projection diverged: {first} -> {res.best_loss}"
+    # The optimized maps come back, keyed like the buffer tree, normalized,
+    # and actually different from the init.
+    init_noises = split_noise_buffers(variables)
+    assert res.noises is not None and set(res.noises) == set(init_noises)
+    moved = 0.0
+    for k, n in res.noises.items():
+        assert float(jnp.abs(jnp.mean(n))) < 1e-3
+        assert float(jnp.std(n)) == pytest.approx(1.0, abs=1e-2)
+        moved += float(jnp.max(jnp.abs(n - init_noises[k])))
+    assert moved > 1e-3, "noise maps never moved"
+    # best_img regeneration uses the BEST noise maps (loss reproduces).
+    mse = float(jnp.mean((res.best_img - target) ** 2))
+    assert mse == pytest.approx(res.best_loss, rel=1e-3)
+
+    # Disabled path: unchanged contract.
+    res0 = project(model, variables, target, loss_fn,
+                   dataclasses.replace(pcfg, noise_regularize=0.0, steps=4),
+                   mean, std, rng=jax.random.PRNGKey(2))
+    assert res0.noises is None
