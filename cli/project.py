@@ -198,6 +198,15 @@ def run(args):
     latent_path = args.save_latent or os.path.join(args.path_to_gen, "w.mat")
     save_latent_mat(latent_path, jax.device_get(result.latent[0]))
     print(f"latent -> {latent_path}")
+    if result.noises is not None:
+        # The best image was synthesized with the CO-OPTIMIZED noise maps;
+        # without them the latent alone regenerates a different image.
+        import numpy as np
+        noises_path = os.path.splitext(latent_path)[0] + ".noises.npz"
+        np.savez(noises_path, **{k: np.asarray(v)
+                                 for k, v in result.noises.items()})
+        print(f"optimized noise maps -> {noises_path} "
+              "(merge_noise_buffers() reapplies them at generation)")
     return result
 
 

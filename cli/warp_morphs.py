@@ -119,9 +119,10 @@ def run(args):
         warped = _warp_one(morph_img, lm_m, lm_a, lm_b)
         name = os.path.splitext(os.path.basename(morph_path))[0]
         out_path = os.path.join(args.out, f"{name}_warped.png")
-        if out_path in used_paths:  # same basename from another directory
-            out_path = os.path.join(
-                args.out, f"{name}_{len(outputs):03d}_warped.png")
+        n = len(outputs)
+        while out_path in used_paths:  # same basename from another directory
+            out_path = os.path.join(args.out, f"{name}_{n:03d}_warped.png")
+            n += 1
         used_paths.add(out_path)
         _save_img(out_path, warped)
         outputs.append(out_path)
