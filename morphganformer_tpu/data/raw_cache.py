@@ -153,6 +153,20 @@ class RawBatchLoader:
 
     def close(self):
         self._stop.set()
+        # Unblock a filler parked in q.put so the thread exits promptly
+        # instead of lingering for its timeout (leaked fillers held memmaps
+        # open across the whole test suite before this).
+        try:
+            self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __del__(self):
+        try:
+            self._stop.set()
+        except Exception:
+            pass
 
 
 def raw_infinite_batches(dataset_path: str, resolution: int,
@@ -170,7 +184,10 @@ def raw_infinite_batches(dataset_path: str, resolution: int,
     labels = np.zeros((batch_size, 0), dtype=np.float32)
 
     def _gen():
-        for batch in loader:
-            yield batch.astype(np.float32) * scale + lo, labels
+        try:
+            for batch in loader:
+                yield batch.astype(np.float32) * scale + lo, labels
+        finally:
+            loader.close()  # generator dropped/closed -> stop the filler
 
     return _gen()

@@ -10,12 +10,37 @@ via `enable_persistent_cache()` before their first jax computation.
 Env contract:
   MGT_COMPILE_CACHE=<dir>  use <dir> as the cache
   MGT_COMPILE_CACHE=0      disable entirely
-  (unset)                  ~/.cache/morphganformer_tpu/xla
+  (unset)                  ~/.cache/morphganformer_tpu/xla/<host-fp>
+
+The directory is scoped by a HOST CPU fingerprint: XLA:CPU AOT
+executables encode the compile machine's feature set, and loading an
+entry produced on a different host is at best a warning and at worst a
+segfault (observed live: this VM class re-provisions with different CPU
+features, and a stale avx512/amx-compiled entry segfaulted the test
+suite inside compilation_cache.get_executable_and_time). TPU executables
+are host-independent — the committed .bench_cache stays flat and is NOT
+managed by this module.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def host_fingerprint() -> str:
+    """Short stable id of this host's CPU feature set."""
+    bits = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits += " " + " ".join(sorted(line.split(":")[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(bits.encode()).hexdigest()[:10]
 
 
 def enable_persistent_cache(path: str | None = None) -> str | None:
@@ -25,8 +50,9 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     env = os.environ.get("MGT_COMPILE_CACHE")
     if env in ("0", "off", "none"):
         return None
-    cache_dir = path or env or os.path.join(
+    base = path or env or os.path.join(
         os.path.expanduser("~"), ".cache", "morphganformer_tpu", "xla")
+    cache_dir = os.path.join(base, host_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
 
     import jax

@@ -25,9 +25,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Suite wall time is dominated by XLA compiles of real-model jits on this
 # one-CPU box (cold run ~30 min, ~80% compile). Cache compiled executables
 # persistently (repo-local, .gitignore'd) so repeat runs skip them.
-_cache_dir = os.environ.get(
-    "MGT_TEST_JAX_CACHE",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# Host-fingerprint subdir: XLA:CPU AOT entries encode the compile
+# machine's CPU features, and this VM class re-provisions with different
+# hosts — loading a cross-host entry segfaulted the suite (see
+# utils/compile_cache.py).
+from morphganformer_tpu.utils.compile_cache import host_fingerprint  # noqa: E402
+
+_cache_dir = os.path.join(
+    os.environ.get(
+        "MGT_TEST_JAX_CACHE",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache")),
+    host_fingerprint())
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

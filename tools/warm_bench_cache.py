@@ -39,6 +39,19 @@ def run_bench(tag):
     return p.returncode, dt, lines
 
 
+def _write_fingerprint():
+    """Record the headline-program fingerprint the cache now covers, so
+    `tools/headline_fingerprint.py --check` can detect cache-breaking
+    commits without a TPU (runs in a subprocess: the fingerprint forces
+    the cpu platform, which must not disturb this process)."""
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "headline_fingerprint.py"), "--write"],
+        capture_output=True, text=True)
+    print(f"[fingerprint] rc={p.returncode} "
+          f"{(p.stdout or p.stderr).strip().splitlines()[-1:]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--verify", action="store_true",
@@ -58,6 +71,8 @@ def main():
         ok = rc == 0 and lines and dt < 420
         print(f"verify {'OK' if ok else 'FAILED'}: cold-with-cache "
               f"wall {dt:.0f}s (target < 420s for the driver window)")
+        if ok:
+            _write_fingerprint()
         sys.exit(0 if ok else 1)
 
     # A cold run can exhaust bench.py's internal deadline after the
