@@ -29,6 +29,17 @@ def main():
     p.add_argument("--out", default="images/merged")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--truncation_psi", type=float, default=0.7)
+    p.add_argument("--noises",
+                   help="Optimized noise maps (.noises.npz from cli/project "
+                        "--noise_regularize); merged into the generator so "
+                        "e.g. `--latents w.mat w.mat --noises w.noises.npz` "
+                        "reproduces that projection's best image (bit-exact "
+                        "in float32; bfloat16 differs by per-pixel rounding)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Synthesis compute dtype. To reproduce a projection "
+                        "output bit-for-bit, match cli/project's dtype "
+                        "(its default is bfloat16)")
     args = p.parse_args()
 
     import jax
@@ -39,7 +50,15 @@ def main():
         load_latent_mat, morph_latents, save_latent_mat)
     from morphganformer_tpu.utils.image import to_pil
 
-    cfg, model, variables = get_model(args.model)
+    cfg, model, variables = get_model(args.model, dtype=args.dtype)
+    if args.noises:
+        import numpy as np
+
+        from morphganformer_tpu.projection.engine import merge_noise_buffers
+        with np.load(args.noises) as nz:
+            variables = merge_noise_buffers(
+                variables, {k: jnp.asarray(v) for k, v in nz.items()})
+        print(f"merged optimized noise maps from {args.noises}")
     os.makedirs(args.out, exist_ok=True)
 
     files = list(args.latents)
