@@ -19,11 +19,17 @@ from morphganformer_tpu.metrics.feature_stats import FeatureStats
 
 
 def _to_detector_range(imgs):
-    """[-1,1] float -> [0,255] float (reference metric_utils.py:250-252:
-    img * 127.5 + 128, clamped to uint8 range)."""
+    """[-1,1] float -> quantized [0,255] float, matching the reference
+    EXACTLY (metric_utils.py:250-252: `(img * 127.5 + 128).clamp(0,
+    255).to(torch.uint8)` — note +128, not +127.5, and the uint8
+    truncation): detector features, hence FID, are sensitive to the
+    quantization grid once real Inception weights are in play. Inputs
+    already in uint8 range pass through with a clamp only (dataset images
+    are quantized at the source)."""
     x = np.asarray(imgs, dtype=np.float32)
     if x.max() <= 1.5:  # assume [-1, 1]
-        x = x * 127.5 + 127.5
+        x = np.clip(x * 127.5 + 128.0, 0, 255).astype(np.uint8)
+        return x.astype(np.float32)
     return np.clip(x, 0, 255)
 
 
