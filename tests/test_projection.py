@@ -307,3 +307,25 @@ def test_projection_with_noise_regularize():
                    dataclasses.replace(pcfg, noise_regularize=0.0, steps=4),
                    mean, std, rng=jax.random.PRNGKey(2))
     assert res0.noises is None
+
+
+def test_w_plus_projection_with_noise_regularize():
+    """W+ mode composes with noise-map co-optimization."""
+    cfg = small_cfg()
+    model, variables = init_generator(cfg, seed=0, batch=1)
+    z_true = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.k, cfg.z_dim))
+    target = model.apply(variables, z_true, truncation_psi=0.7,
+                         noise_mode="const")
+    mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(1),
+                             n_mean_latent=128)
+    pcfg = ProjectionConfig(steps=40, chunk=20, lr=0.05, w_plus=True,
+                            noise_regularize=1e3)
+    loss_fn = build_loss_stack({"mse": 1.0})
+    res = project(model, variables, target, loss_fn, pcfg, mean, std,
+                  rng=jax.random.PRNGKey(2))
+    assert res.noises is not None
+    assert res.latent.ndim == 4  # [B, k, num_ws, w_dim]
+    assert res.best_loss < float(res.loss_history[0])
+    # Regeneration contract holds in W+ mode with optimized noises too.
+    mse = float(jnp.mean((res.best_img - target) ** 2))
+    assert mse == pytest.approx(res.best_loss, rel=1e-3)

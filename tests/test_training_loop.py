@@ -17,6 +17,27 @@ from morphganformer_tpu.training.loop import LoopConfig, training_loop
 from morphganformer_tpu.training.train_step import TrainConfig
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_compile_cache():
+    """Disable the persistent compile cache for this module.
+
+    Full `-m ""` suite runs segfaulted three times (deterministically, and
+    regardless of concurrency or cache-directory freshness) inside XLA's
+    C++ `backend.deserialize_executable` when the orbax loop test READ
+    this module's 8-device train-step executable from the persistent
+    cache late in the suite — the same read succeeds in a short run, so
+    some accumulated process state breaks XLA:CPU deserialization and is
+    unfixable from here. No cache => no read => no crash; the cost is a
+    few minutes of recompilation per full run (the default `-m "not
+    slow"` selection deselects these tests anyway)."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("traindata")
