@@ -143,11 +143,12 @@ def bench_morph_pair(steps=250):
     return rate
 
 
-def bench_generation(batch=4, iters=25):
+def bench_generation(batch=8, iters=25):
     """Secondary anchor from BASELINE.md: 1024^2 generated images/sec/chip
-    (forward-only, bf16, batch 4). Timed device-side via a fori_loop with
-    an input perturbation per iteration (so nothing hoists), ending in a
-    scalar fetch."""
+    (forward-only, bf16). Timed device-side via a fori_loop with an input
+    perturbation per iteration (so nothing hoists), ending in a scalar
+    fetch. Batch 8 per the on-chip sweep (tools/gen_batch_sweep.py,
+    round 3): 4.68 ms/img vs 5.06 at batch 4 and 4.85 at batch 16."""
     from morphganformer_tpu.models import ffhq1024_config, init_generator
 
     cfg = dataclasses.replace(ffhq1024_config(), dtype="bfloat16")

@@ -104,7 +104,8 @@ def _conv3x3_kernel(x_hbm, w_ref, o_ref, x_vmem, sems, *, tile_h, width):
 
 def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
                              tile_h, wg, gain, alpha, use_noise, use_bias,
-                             use_resid=False, use_dot=False):
+                             use_resid=False, use_dot=False, use_dd=False,
+                             use_dd_noise=False, dd_gain=1.0, dd_alpha=1.0):
     """Fused modulated-conv synthesis tail, packed space:
 
         y = lrelu(d * conv3x3(x * s, w) + noise + bias) * gain [+ resid]
@@ -139,9 +140,16 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
         resid_ref, rest = rest[0], rest[1:]
     if use_dot:
         dot_in_ref, rest = rest[0], rest[1:]
-        o_ref, dot_ref, x_vmem, sems = rest
-    else:
-        o_ref, x_vmem, sems = rest
+    if use_dd:
+        dd_y_ref, rest = rest[0], rest[1:]
+        if use_dd_noise:
+            dd_nz_ref, rest = rest[0], rest[1:]
+    rest = list(rest)
+    o_ref = rest.pop(0)
+    dot_ref = rest.pop(0) if use_dot else None
+    dd1_ref = rest.pop(0) if use_dd else None
+    dd2_ref = rest.pop(0) if use_dd else None
+    x_vmem, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
@@ -204,6 +212,27 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
         def _():
             x_vmem[slot, tile_h + 1] = jnp.zeros_like(
                 x_vmem[slot, tile_h + 1])
+
+    if use_dd:
+        # Demod-chain dd taps (custom-VJP backward): the input tile IS gd
+        # (the adjoint launch passes s = ones), already streamed to VMEM
+        # for the conv — reduce it here against the forward output y
+        # (y/mask recovers the pre-activation; mask from sign(y) and the
+        # FORWARD's dd_gain/dd_alpha) and the packed noise. The caller
+        # combines: dd*d^2 = dd1 - bias*dd2, folded over the pack.
+        gd_t = x_vmem[slot, 1:tile_h + 1, 8:8 + wg, :].reshape(
+            tile_h * wg, pc).astype(jnp.float32)
+        yv = dd_y_ref[...].reshape(tile_h * wg, pc).astype(jnp.float32)
+        t = yv * jnp.where(yv >= 0, 1.0 / dd_gain,
+                           1.0 / (dd_gain * dd_alpha))
+        if use_dd_noise:
+            t = t - dd_nz_ref[...].reshape(tile_h * wg, pc).astype(
+                jnp.float32)
+        tap1 = jnp.sum(gd_t * t, axis=0)
+        tap2 = jnp.sum(gd_t, axis=0)
+        ddrows = jax.lax.broadcasted_iota(jnp.int32, (8, pc), 0)
+        dd1_ref[0] = jnp.where(ddrows == 0, tap1[None, :], 0.0)
+        dd2_ref[0] = jnp.where(ddrows == 0, tap2[None, :], 0.0)
 
     xs = x_vmem[slot] * _row_select(s_ref, b)[None, None, :]
     acc = jnp.zeros((tile_h * wg, po), jnp.float32)
@@ -358,9 +387,11 @@ def conv3x3_same_packed(x, w, pack=None):
     return y.reshape(n, h, width, o)
 
 
-def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2):
+def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2, extra_blocks=0):
     """VMEM-budgeted row-tile height for the fused modconv kernel.
-    esize: bytes per element of the compute dtype (2 bf16 / 4 f32)."""
+    esize: bytes per element of the compute dtype (2 bf16 / 4 f32).
+    extra_blocks: additional pipelined output-sized input blocks (the
+    backward dd-tap inputs y / packed noise)."""
     budget = 10 * 1024 * 1024
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
     for tile in (128, 64, 32, 16, 8, 4, 2, 1):
@@ -371,31 +402,49 @@ def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2):
         out_bytes = 2 * tile * wg * max(po, 128) * esize  # pipelined out
         noise_bytes = (2 * tile * wg * max(po, 128) * esize
                        if use_noise else 0)
+        extra_bytes = extra_blocks * 2 * tile * wg * max(pc, 128) * esize
         acc_bytes = tile * wg * max(po, 128) * 4
-        if in_bytes + xs_bytes + out_bytes + noise_bytes + acc_bytes <= budget:
+        if (in_bytes + xs_bytes + out_bytes + noise_bytes + extra_bytes
+                + acc_bytes <= budget):
             return tile
     return 1
 
 
 def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
-                    resid_p=None, dot_with=None):
+                    resid_p=None, dot_with=None, dd_with=None,
+                    dd_noise=None, dd_gain=1.0, dd_alpha=1.0):
     """Run the packed fused modconv kernel. xp: packed [N,H,Wg,PC]
     (unpadded); kp: packed [3,3,PC,PO]; s_p [N,PC] (x dtype); d_p [N,PO]
     f32; noise_p [H,Wg,PO] or None; bias_p [PO] f32 or None; resid_p
     [N,H,Wg,PO] or None (resnet skip branch, added in-kernel); dot_with
     [N,H,Wg,PO] or None — when given, also returns per-tile partials
     dots[n, i, PO] of sum_pixels(dot_with * pre-d conv result) (backward
-    ds fusion; see the kernel docstring)."""
+    ds fusion; see the kernel docstring).
+
+    dd_with (the forward OUTPUT y, [N,H,Wg,PC] — PC lanes: in the
+    adjoint launch the kernel input xp is gd at the forward's output
+    resolution) enables the demod-chain dd taps: two extra per-tile
+    outputs dd1[n,i,PC] = sum_pixels(xp * (y/mask - nz)) and
+    dd2[n,i,PC] = sum_pixels(xp), with mask recomputed in-kernel from
+    sign(y) and the FORWARD's activation constants dd_gain/dd_alpha
+    (the adjoint launch itself runs gain=alpha=1). dd_noise: the packed
+    noise [*,H,Wg,PC] or None. This folds the entire XLA-side dd
+    reduction pass (2.5 ms/step at 1024^2, tools/profile_dd.py) into
+    the tiles the adjoint already streams."""
     n, h, wg, pc = xp.shape
     po = kp.shape[-1]
     use_noise = noise_p is not None
     use_bias = bias_p is not None
     use_resid = resid_p is not None
     use_dot = dot_with is not None
+    use_dd = dd_with is not None
     wgp = 8 + (-(-(wg + 1) // 8) * 8)   # data at [8, wg+8) + right border
     tile_h = _pick_tile_h_mod(h, pc, po, wg,
                               use_noise or use_resid or use_dot,
-                              esize=xp.dtype.itemsize)
+                              esize=xp.dtype.itemsize,
+                              extra_blocks=((1 if use_dd else 0)
+                                            + (1 if dd_noise is not None
+                                               else 0)))
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),              # x stays in HBM
@@ -429,35 +478,62 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
                                      lambda b, i: (b, i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(dot_with)
+    if use_dd:
+        in_specs.append(pl.BlockSpec((1, tile_h, wg, pc),
+                                     lambda b, i: (b, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dd_with)
+        if dd_noise is not None:
+            if dd_noise.ndim == 4:           # per-sample noise
+                in_specs.append(pl.BlockSpec((1, tile_h, wg, pc),
+                                             lambda b, i: (b, i, 0, 0),
+                                             memory_space=pltpu.VMEM))
+            else:                            # batch-shared noise
+                in_specs.append(pl.BlockSpec((tile_h, wg, pc),
+                                             lambda b, i: (i, 0, 0),
+                                             memory_space=pltpu.VMEM))
+            args.append(dd_noise)
 
     n_i = h // tile_h
-    out_shape = jax.ShapeDtypeStruct((n, h, wg, po), xp.dtype)
-    out_specs = pl.BlockSpec((1, tile_h, wg, po), lambda b, i: (b, i, 0, 0),
-                             memory_space=pltpu.VMEM)
+    # 8 sublane rows per reduction tile (partial in row 0) — sum over
+    # axis 1 recovers the full reduction.
+    out_shapes = [jax.ShapeDtypeStruct((n, h, wg, po), xp.dtype)]
+    out_specs_l = [pl.BlockSpec((1, tile_h, wg, po),
+                                lambda b, i: (b, i, 0, 0),
+                                memory_space=pltpu.VMEM)]
+    red_spec = pl.BlockSpec((1, 8, po), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
     if use_dot:
-        # 8 sublane rows per tile (partial in row 0) — sum over axis 1
-        # recovers the full reduction.
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((n, 8 * n_i, po), jnp.float32))
-        out_specs = (out_specs,
-                     pl.BlockSpec((1, 8, po), lambda b, i: (b, i, 0),
-                                  memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((n, 8 * n_i, po),
+                                               jnp.float32))
+        out_specs_l.append(red_spec)
+    if use_dd:
+        dd_spec = pl.BlockSpec((1, 8, pc), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)
+        out_shapes += [jax.ShapeDtypeStruct((n, 8 * n_i, pc), jnp.float32),
+                       jax.ShapeDtypeStruct((n, 8 * n_i, pc), jnp.float32)]
+        out_specs_l += [dd_spec, dd_spec]
 
-    return pl.pallas_call(
+    single = len(out_shapes) == 1
+    out = pl.pallas_call(
         functools.partial(_modconv_epilogue_kernel, tile_h=tile_h, wg=wg,
                           gain=float(gain), alpha=float(alpha),
                           use_noise=use_noise, use_bias=use_bias,
-                          use_resid=use_resid, use_dot=use_dot),
-        out_shape=out_shape,
+                          use_resid=use_resid, use_dot=use_dot,
+                          use_dd=use_dd,
+                          use_dd_noise=dd_noise is not None,
+                          dd_gain=float(dd_gain), dd_alpha=float(dd_alpha)),
+        out_shape=out_shapes[0] if single else tuple(out_shapes),
         grid=(n, n_i),
         interpret=jax.default_backend() == "cpu",  # tests run interpreted
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=out_specs_l[0] if single else tuple(out_specs_l),
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 2, wgp, pc), xp.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),   # per slot: body/top/bottom
         ],
     )(*args)
+    return out
 
 
 def _modconv_pack(c, o, width):
@@ -556,6 +632,15 @@ def fused_modconv3x3_lrelu(x, w, styles, noise, bias, resid, gain, alpha,
     return y
 
 
+def _skip_dd():
+    """Dev-profiling gate (MGT_SKIP_DD=1): drop the demod-chain dd term
+    from the packed backwards to price it on-chip. Gradients are WRONG
+    with this set — tools/profile_dd.py only. Read at trace time."""
+    import os
+
+    return os.environ.get("MGT_SKIP_DD", "0") == "1"
+
+
 def _tok(flag):
     """Encode a trace-time bool in pytree STRUCTURE (() vs None) so the
     backward can branch on it statically (residual leaves become arrays)."""
@@ -628,21 +713,52 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
     # slot carries s (so it writes dx directly, no separate du*s pass) and
     # its use_dot tap reduces sum_pixels(x * du) per tile from the f32
     # accumulator (no separate x*du pass, and no bf16 du round-trip).
-    dx = ds = None
+    need_dd = demodulate and (styles_p or w_p) and not _skip_dd()
+    dx = ds = dd1 = dd2 = None
     if x_p or styles_p:
         w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
         kp_t = _pack_kernel(w_t.astype(gd.dtype), pack)
         ones_s = jnp.ones((n, pack * o), gd.dtype)
         s_out = jnp.tile(styles.astype(f32), (1, pack))
         gd_pk = gd if packed_io else gd.reshape(n, h, wg, pack * o)
+        dd_kw = {}
+        if need_dd:
+            # Ride the demod-chain dd reduction on the adjoint launch's
+            # tiles (in-kernel taps; see _modconv_pallas) instead of a
+            # separate XLA pass over (g, y, noise).
+            y_pk = (y if packed_io
+                    else y.reshape(n, h, wg, pack * o)).astype(gd.dtype)
+            nzp = None
+            if noise is not None:
+                # Same packed broadcast (and dtype) the forward applied.
+                if noise.ndim == 3:
+                    nzp = jnp.broadcast_to(
+                        noise.reshape(n, h, wg, pack, 1),
+                        (n, h, wg, pack, o)).reshape(
+                            n, h, wg, pack * o).astype(gd.dtype)
+                else:
+                    nzp = jnp.broadcast_to(
+                        noise.reshape(h, wg, pack, 1),
+                        (h, wg, pack, o)).reshape(
+                            h, wg, pack * o).astype(gd.dtype)
+            dd_kw = dict(dd_with=y_pk, dd_noise=nzp,
+                         dd_gain=gain, dd_alpha=alpha)
         if styles_p:
             x_pk = x if packed_io else x.reshape(n, h, wg, pack * c)
-            dx_pk, dots = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None,
-                                          None, 1.0, 1.0, dot_with=x_pk)
+            outs = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None,
+                                   None, 1.0, 1.0, dot_with=x_pk, **dd_kw)
+            if need_dd:
+                dx_pk, dots, dd1, dd2 = outs
+            else:
+                dx_pk, dots = outs
             ds = jnp.sum(jnp.sum(dots, axis=1).reshape(n, pack, c), axis=1)
         else:
-            dx_pk = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None, None,
-                                    1.0, 1.0)
+            outs = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None, None,
+                                   1.0, 1.0, **dd_kw)
+            if need_dd:
+                dx_pk, dd1, dd2 = outs
+            else:
+                dx_pk = outs
         if x_p:
             dx = (dx_pk if packed_io
                   else dx_pk.reshape(n, h, width, c)).astype(x.dtype)
@@ -653,8 +769,25 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
     # factors cancel), so g_pre*act_inv(y) == g*y and
     #   dd = (sum g*y - sum g_pre*nz - b * sum g_pre) / d
     # — no conv_out recovery chain, no full-tensor division, no 1/alpha.
+    # Fast path: the adjoint launch's in-kernel dd taps already reduced
+    #   dd1 = sum gd*(y/mask - nz),  dd2 = sum gd     (gd = g_pre*d)
+    # so dd*d^2 = dd1 - b*dd2, and de = -0.5*dd*d^3 = -0.5*(dd1-b*dd2)*d.
+    # The former separate XLA reductions cost 2.5 ms/step at 1024^2
+    # (tools/profile_dd.py).
     dwsq = None
-    if demodulate and (styles_p or w_p):
+    if dd1 is not None:
+        t1 = jnp.sum(jnp.sum(dd1, axis=1).reshape(n, pack, o), axis=1)
+        t2 = jnp.sum(jnp.sum(dd2, axis=1).reshape(n, pack, o), axis=1)
+        raw = t1 - bias.astype(f32)[None] * t2 if bias is not None else t1
+        de = -0.5 * raw * d
+        wsq = jnp.sum(jnp.square(w.astype(f32)), axis=(0, 1))  # [C,O]
+        if styles_p:
+            ds = ds + 2.0 * styles.astype(f32) * (de @ wsq.T)
+        if w_p:
+            dwsq = jnp.square(styles.astype(f32)).T @ de       # [C,O]
+    elif need_dd:
+        # Adjoint kernel not launched (w differentiated with frozen
+        # x/styles) — XLA reduction fallback.
         dd = lane_reduce(g.astype(f32) * y.astype(f32), o)     # [N,O]
         if noise is not None:
             gp5 = grouped(g_pre.astype(f32), o)
@@ -707,8 +840,15 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
             dnoise = jnp.zeros_like(noise)
     dbias = None
     if bias is not None:
-        dbias = (jnp.sum(grouped(g_pre.astype(f32), o), axis=(0, 1, 2, 3))
-                 .astype(bias.dtype) if bias_p else jnp.zeros_like(bias))
+        if not bias_p:
+            dbias = jnp.zeros_like(bias)
+        elif dd2 is not None:
+            # sum g_pre = dd2/d per (n, o): the tap already reduced it.
+            t2b = jnp.sum(jnp.sum(dd2, axis=1).reshape(n, pack, o), axis=1)
+            dbias = jnp.sum(t2b / d, axis=0).astype(bias.dtype)
+        else:
+            dbias = jnp.sum(grouped(g_pre.astype(f32), o),
+                            axis=(0, 1, 2, 3)).astype(bias.dtype)
 
     return (dx if dx is not None else jnp.zeros_like(x),
             dw if dw is not None else jnp.zeros_like(w),
@@ -968,7 +1108,8 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
 def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
                             use_scale=False, use_dot=False,
                             gain=1.0, alpha=1.0, use_bias=False,
-                            use_resid=False):
+                            use_resid=False, use_dd=False,
+                            use_dd_noise=False, dd_gain=1.0, dd_alpha=1.0):
     """Strided 2x-down packed conv: output tile rows [s0, s0+tile_s) at
     the HALF resolution read full-res rows [2*s0-2, 2*s0+2*tile_s+2) with
     a 2-row halo each side. w_ref: [6, 3, QO, PC]. Serves two roles with
@@ -993,9 +1134,16 @@ def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
         resid_ref, rest = rest[0], rest[1:]
     if use_dot:
         dot_in_ref, rest = rest[0], rest[1:]
-        o_ref, dot_ref, g_vmem, sems = rest
-    else:
-        o_ref, g_vmem, sems = rest
+    if use_dd:
+        dd_y_ref, rest = rest[0], rest[1:]
+        if use_dd_noise:
+            dd_nz_ref, rest = rest[0], rest[1:]
+    rest = list(rest)
+    o_ref = rest.pop(0)
+    dot_ref = rest.pop(0) if use_dot else None
+    dd1_ref = rest.pop(0) if use_dd else None
+    dd2_ref = rest.pop(0) if use_dd else None
+    g_vmem, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
@@ -1052,6 +1200,22 @@ def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
                 g_vmem[slot, 2 * tile_s + 2:])
 
     g = g_vmem[slot]
+    if use_dd:
+        # Demod-chain dd taps over the full-res interior gd tile (rows
+        # [2, 2+2*tile_s)) — see _modconv_epilogue_kernel's dd block.
+        gd_t = g[2:2 + 2 * tile_s, 8:8 + wg, :].reshape(
+            2 * tile_s * wg, qo).astype(jnp.float32)
+        yv = dd_y_ref[...].reshape(2 * tile_s * wg, qo).astype(jnp.float32)
+        t = yv * jnp.where(yv >= 0, 1.0 / dd_gain,
+                           1.0 / (dd_gain * dd_alpha))
+        if use_dd_noise:
+            t = t - dd_nz_ref[...].reshape(2 * tile_s * wg, qo).astype(
+                jnp.float32)
+        tap1 = jnp.sum(gd_t * t, axis=0)
+        tap2 = jnp.sum(gd_t, axis=0)
+        ddrows = jax.lax.broadcasted_iota(jnp.int32, (8, qo), 0)
+        dd1_ref[0] = jnp.where(ddrows == 0, tap1[None, :], 0.0)
+        dd2_ref[0] = jnp.where(ddrows == 0, tap2[None, :], 0.0)
     # View rows as (row_pair, parity) so each dr-tap is a contiguous slice.
     g2 = g.reshape(rows // 2, 2, g.shape[1], qo)
     acc = jnp.zeros((tile_s * wg, pc), jnp.float32)
@@ -1162,7 +1326,9 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
 
 
 def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
-                            bias_p=None, gain=1.0, alpha=1.0, resid_p=None):
+                            bias_p=None, gain=1.0, alpha=1.0, resid_p=None,
+                            dd_with=None, dd_noise=None, dd_gain=1.0,
+                            dd_alpha=1.0):
     """Strided 2x-down packed conv (adjoint of _packed_upconv_pallas, or
     the D tower's forward down-conv). gp: [N, H_out, G, QO]; kdown:
     [6, 3, QO, PC]; mask: static nonzero-block mask [6][3] from
@@ -1181,6 +1347,8 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
     use_dot = dot_with is not None
     use_bias = bias_p is not None
     use_resid = resid_p is not None
+    use_dd = dd_with is not None
+    dd_blocks = (1 if use_dd else 0) + (1 if dd_noise is not None else 0)
 
     es = gp.dtype.itemsize
     budget = 10 * 1024 * 1024
@@ -1190,7 +1358,8 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
             continue
         need = (2 * (2 * t + 4) * wgp * qo * es + 2 * t * wg * pc * es
                 + t * wg * pc * 4 + (2 * t + 4) * wgp * qo * es
-                + (2 * t * wg * pc * es if (use_dot or use_resid) else 0))
+                + (2 * t * wg * pc * es if (use_dot or use_resid) else 0)
+                + dd_blocks * 2 * (2 * t) * wg * qo * es)
         if need <= budget:
             tile_s = t
             break
@@ -1221,28 +1390,55 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
                                      lambda b, i: (b, i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(dot_with)
+    if use_dd:
+        # dd-tap inputs live at the FULL output resolution (2*tile_s rows
+        # per grid step), matching the kernel's interior gd tile.
+        in_specs.append(pl.BlockSpec((1, 2 * tile_s, wg, qo),
+                                     lambda b, i: (b, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dd_with)
+        if dd_noise is not None:
+            if dd_noise.ndim == 4:           # per-sample noise
+                in_specs.append(pl.BlockSpec((1, 2 * tile_s, wg, qo),
+                                             lambda b, i: (b, i, 0, 0),
+                                             memory_space=pltpu.VMEM))
+            else:                            # batch-shared noise
+                in_specs.append(pl.BlockSpec((2 * tile_s, wg, qo),
+                                             lambda b, i: (i, 0, 0),
+                                             memory_space=pltpu.VMEM))
+            args.append(dd_noise)
 
     n_i = h_in // tile_s
-    out_shape = jax.ShapeDtypeStruct((n, h_in, wg, pc), gp.dtype)
-    out_specs = pl.BlockSpec((1, tile_s, wg, pc), lambda b, i: (b, i, 0, 0),
-                             memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((n, h_in, wg, pc), gp.dtype)]
+    out_specs_l = [pl.BlockSpec((1, tile_s, wg, pc),
+                                lambda b, i: (b, i, 0, 0),
+                                memory_space=pltpu.VMEM)]
     if use_dot:
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((n, 8 * n_i, pc), jnp.float32))
-        out_specs = (out_specs,
-                     pl.BlockSpec((1, 8, pc), lambda b, i: (b, i, 0),
-                                  memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((n, 8 * n_i, pc),
+                                               jnp.float32))
+        out_specs_l.append(pl.BlockSpec((1, 8, pc), lambda b, i: (b, i, 0),
+                                        memory_space=pltpu.VMEM))
+    if use_dd:
+        dd_spec = pl.BlockSpec((1, 8, qo), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)
+        out_shapes += [jax.ShapeDtypeStruct((n, 8 * n_i, qo), jnp.float32),
+                       jax.ShapeDtypeStruct((n, 8 * n_i, qo), jnp.float32)]
+        out_specs_l += [dd_spec, dd_spec]
 
+    single = len(out_shapes) == 1
     return pl.pallas_call(
         functools.partial(_packed_downconv_kernel, tile_s=tile_s, wg=wg,
                           mask=mask, use_scale=use_scale, use_dot=use_dot,
                           gain=float(gain), alpha=float(alpha),
-                          use_bias=use_bias, use_resid=use_resid),
-        out_shape=out_shape,
+                          use_bias=use_bias, use_resid=use_resid,
+                          use_dd=use_dd,
+                          use_dd_noise=dd_noise is not None,
+                          dd_gain=float(dd_gain), dd_alpha=float(dd_alpha)),
+        out_shape=out_shapes[0] if single else tuple(out_shapes),
         grid=(n, n_i),
         interpret=jax.default_backend() == "cpu",
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=out_specs_l[0] if single else tuple(out_specs_l),
         scratch_shapes=[
             pltpu.VMEM((2, 2 * tile_s + 4, wgp, qo), gp.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -1354,17 +1550,41 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
     # slot carries s) and the per-tile partials of ds = sum x*du (the
     # in-kernel dot tap, reduced from the f32 accumulator — no bf16 du
     # round-trip and no separate x*du pass). See _packed_downconv_kernel.
-    dx = ds = None
+    need_dd = demodulate and (styles_p or w_p) and not _skip_dd()
+    dx = ds = dd1 = dd2 = None
     s = styles if styles is not None else jnp.ones((n, cin), f32)
     s_p = jnp.tile(s.astype(f32), (1, P))
     if x_p or styles_p:
         kdown, kd_mask = _pack_downconv_kernel(kpix.astype(g.dtype), P, Q, p0)
+        dd_kw = {}
+        if need_dd:
+            # In-kernel demod-chain dd taps on the adjoint launch (see
+            # _modconv_bwd / _packed_downconv_pallas).
+            nzp = None
+            if noise is not None:
+                h_out = noise.shape[-2]
+                lead = (n,) if noise.ndim == 3 else ()
+                nzp = jnp.broadcast_to(
+                    noise.reshape(*lead, h_out, wg, Q, 1),
+                    (*lead, h_out, wg, Q, cout)).reshape(
+                        *lead, h_out, wg, Q * cout).astype(gd.dtype)
+            dd_kw = dict(dd_with=y.astype(gd.dtype), dd_noise=nzp,
+                         dd_gain=gain, dd_alpha=alpha)
         if styles_p:
-            dxq, dots = _packed_downconv_pallas(gd, kdown, mask=kd_mask,
-                                                scale=s_p, dot_with=x)
+            outs = _packed_downconv_pallas(gd, kdown, mask=kd_mask,
+                                           scale=s_p, dot_with=x, **dd_kw)
+            if need_dd:
+                dxq, dots, dd1, dd2 = outs
+            else:
+                dxq, dots = outs
             ds = jnp.sum(jnp.sum(dots, axis=1).reshape(n, P, cin), axis=1)
         else:
-            dxq = _packed_downconv_pallas(gd, kdown, mask=kd_mask, scale=s_p)
+            outs = _packed_downconv_pallas(gd, kdown, mask=kd_mask,
+                                           scale=s_p, **dd_kw)
+            if need_dd:
+                dxq, dd1, dd2 = outs
+            else:
+                dxq = outs
         if x_p:
             dx = dxq.astype(x.dtype)
 
@@ -1375,9 +1595,23 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
         return jnp.sum(part.reshape(n, pk, ch), axis=1)
 
     dwsq = None
-    if demodulate and (styles_p or w_p):
+    if dd1 is not None:
         # dd[n,o] = sum_p g_pre*conv_out; mask*act_inv(y) == y exactly, so
-        # dd = (sum g*y - sum g_pre*nz - b*sum g_pre)/d (see _modconv_bwd).
+        # dd*d^2 = dd1 - b*dd2 from the in-kernel taps and
+        # de = -0.5*dd*d^3 = -0.5*(dd1 - b*dd2)*d (see _modconv_bwd).
+        t1 = jnp.sum(jnp.sum(dd1, axis=1).reshape(n, Q, cout), axis=1)
+        t2 = jnp.sum(jnp.sum(dd2, axis=1).reshape(n, Q, cout), axis=1)
+        raw = t1 - bias.astype(f32)[None] * t2 if bias is not None else t1
+        de = -0.5 * raw * d
+        wsq = jnp.sum(jnp.square(w.astype(f32)), axis=(0, 1))
+        if styles_p:
+            ds = ds + 2.0 * s.astype(f32) * (de @ wsq.T)
+        if w_p:
+            dwsq = jnp.square(s.astype(f32)).T @ de
+    elif need_dd:
+        # Adjoint kernel not launched (w_p with frozen x/styles) — XLA
+        # reduction fallback (dd = (sum g*y - sum g_pre*nz - b*sum
+        # g_pre)/d, see _modconv_bwd).
         dd = lane_reduce(g.astype(f32) * y.astype(f32), Q, cout)  # [N,Cout]
         if noise is not None:
             h_out = noise.shape[-2]
@@ -1435,9 +1669,15 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
             dnoise = jnp.zeros_like(noise)
     dbias = None
     if bias is not None:
-        dbias = (jnp.sum(g_pre.astype(f32).reshape(n, -1, wg, Q, cout),
-                         axis=(0, 1, 2, 3))
-                 .astype(bias.dtype) if bias_p else jnp.zeros_like(bias))
+        if not bias_p:
+            dbias = jnp.zeros_like(bias)
+        elif dd2 is not None:
+            # sum g_pre = dd2/d per (n, o): the tap already reduced it.
+            t2b = jnp.sum(jnp.sum(dd2, axis=1).reshape(n, Q, cout), axis=1)
+            dbias = jnp.sum(t2b / d, axis=0).astype(bias.dtype)
+        else:
+            dbias = jnp.sum(g_pre.astype(f32).reshape(n, -1, wg, Q, cout),
+                            axis=(0, 1, 2, 3)).astype(bias.dtype)
 
     return (dx if dx is not None else jnp.zeros_like(x),
             dw if dw is not None else jnp.zeros_like(w),
