@@ -87,10 +87,14 @@ def packed_structural_ok(cfg: GANformerConfig, res: int,
                and out_ch * 2 == in_ch
                and (res // 2) * in_ch % 128 == 0
                and g % 8 == 0)
-    # b256 channel-split: Cin = 256 > 128 lanes runs as four quarter
-    # kernels + lane merge (ops/pallas_conv.py fused_packed_upconv2_c256);
-    # each half needs G_half = res//2 groups, 8-aligned.
-    split_ok = (in_ch == 256 and out_ch == 128 and (res // 2) % 8 == 0)
+    # b256 wide-lane: Cin = 256 runs as one native 256-lane launch
+    # (ops/pallas_conv.py fused_packed_upconv2_c256); needs
+    # G = res//2 groups, 8-aligned. MGT_PACKED_B256=0 excludes the block
+    # from the packed chain for A/B (its input pixel NHWC is identical to
+    # the packed entry form, so the chain then simply starts at b512).
+    import os
+    split_ok = (in_ch == 256 and out_ch == 128 and (res // 2) % 8 == 0
+                and os.environ.get("MGT_PACKED_B256", "1") != "0")
     return base and (lane_ok or split_ok)
 
 
