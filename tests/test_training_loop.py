@@ -29,13 +29,25 @@ def _no_persistent_compile_cache():
     some accumulated process state breaks XLA:CPU deserialization and is
     unfixable from here. No cache => no read => no crash; the cost is a
     few minutes of recompilation per full run (the default `-m "not
-    slow"` selection deselects these tests anyway)."""
+    slow"` selection deselects these tests anyway).
+
+    Setting jax_compilation_cache_dir=None alone is NOT enough: jax
+    memoizes the cache object on first use (compilation_cache._get_cache
+    initializes the global `_cache` at most once and is_cache_used
+    latches `_cache_used`), so a dir change mid-process never reaches
+    the read path — reset_cache() drops that state so the None dir
+    actually takes effect (verified: a full `-m ""` run segfaulted in
+    deserialize_executable again WITH the dir-only version of this
+    fixture)."""
     import jax
+    from jax._src import compilation_cache as _cc
 
     prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
+    _cc.reset_cache()
 
 
 @pytest.fixture(scope="module")
@@ -128,8 +140,26 @@ def test_snapshot_loads_as_generator_checkpoint(data_dir, loop_run):
 def test_orbax_snapshot_backend_roundtrip(data_dir, tmp_path):
     """Async Orbax snapshots: a 1-tick run saves via AsyncCheckpointer and
     a resumed run restores the full train state from the orbax directory
-    (no train_state.msgpack on disk)."""
+    (no train_state.msgpack on disk).
+
+    Runs in a FRESH SUBPROCESS unless MGT_LOOP_SUBPROC=1: after ~195
+    in-process tests, XLA:CPU segfaults compiling (or, with a persistent
+    cache, deserializing) this test's train-step executable —
+    deterministic in full `-m ""` runs, absent in short runs, and not
+    memory pressure (125 GB free at crash). Process-accumulated XLA state
+    is outside our control; a clean child process sidesteps it."""
     import os
+    import subprocess
+    import sys
+
+    if os.environ.get("MGT_LOOP_SUBPROC") != "1":
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-m", "",
+             f"{__file__}::test_orbax_snapshot_backend_roundtrip"],
+            env={**os.environ, "MGT_LOOP_SUBPROC": "1"},
+            capture_output=True, text=True, timeout=1800)
+        assert r.returncode == 0, f"child run failed:\n{r.stdout}\n{r.stderr}"
+        return
 
     g_cfg, d_cfg, t_cfg = _cfgs()
     run_dir = str(tmp_path / "orbax_run")
