@@ -641,6 +641,16 @@ def _skip_dd():
     return os.environ.get("MGT_SKIP_DD", "0") == "1"
 
 
+def _skip_dw():
+    """Dev-profiling gate (MGT_SKIP_DW=1): return ZERO weight gradients
+    from the packed custom VJPs to price the dw computation on-chip
+    (training-path XLA weight-grad convs/einsums). Gradients are WRONG
+    with this set — tools/profile_dw.py only. Read at trace time."""
+    import os
+
+    return os.environ.get("MGT_SKIP_DW", "0") == "1"
+
+
 def _tok(flag):
     """Encode a trace-time bool in pytree STRUCTURE (() vs None) so the
     backward can branch on it statically (residual leaves become arrays)."""
@@ -811,7 +821,7 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
             dwsq = jnp.square(styles.astype(f32)).T @ de       # [C,O]
 
     dw = None
-    if w_p:
+    if w_p and not _skip_dw():
         # Training path only: dw[dy,dx,c,o] = sum u_pad[.,y+dy,x+dx,c]*gd'.
         x_px = grouped(x, c).reshape(n, h, width, c) if packed_io else x
         gd_px = grouped(gd, o).reshape(n, h, width, o) if packed_io else gd
@@ -1637,7 +1647,7 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
             dwsq = jnp.square(s.astype(f32)).T @ de
 
     dw = None
-    if w_p:
+    if w_p and not _skip_dw():
         # Training path: vjp of the unpacked XLA reference composition
         # w.r.t. the weight (exactly the unfused semantics).
         from morphganformer_tpu.ops.modulated_conv import modulated_conv2d
@@ -1899,7 +1909,7 @@ def _dconv_bwd(gain, alpha, flip_weight, res, g):
                                    1.0, 1.0, masks=bmask).astype(x.dtype)
 
     dw = None
-    if w_p:
+    if w_p and not _skip_dw():
         # Training path: vjp of the XLA reference composition w.r.t. w.
         from morphganformer_tpu.ops.conv2d_resample import conv2d_resample
         x_px = x.reshape(n, h, wg, Q, cin).reshape(n, h, wg * Q, cin)

@@ -67,10 +67,44 @@ def main():
         state, stats = step(state, i)
     float(jnp.sum(state["pl_mean"]))
     dt = (time.perf_counter() - t0) / args.reps
-    print(f"train iteration: {dt*1000:.1f} ms "
+    print(f"train iteration (all stages every step): {dt*1000:.1f} ms "
           f"({args.batch/dt:.2f} imgs/s)", flush=True)
     for k, v in stats.items():
         print(f"  {k}: {float(jnp.mean(v)):.4f}", flush=True)
+
+    # Per-stage timing + the honest amortized step (G_reg every 4 steps,
+    # D_reg every 16 — reference run_network.py lazy regularization).
+    n = trainer.n_accum if args.batch % trainer.n_accum == 0 else 1
+    micro = args.batch // n
+    z = jax.random.normal(jax.random.PRNGKey(3),
+                          (n, micro, g_cfg.k, g_cfg.z_dim))
+    realm = real[0].reshape((n, micro) + real[0].shape[1:])
+    rngs = jax.random.split(jax.random.PRNGKey(4), 4)
+
+    def timed(tag, fn, reps=args.reps):
+        fn()  # warm (already compiled via train_iteration)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        float(jnp.sum(out["pl_mean"]))
+        ms = (time.perf_counter() - t0) / reps * 1000
+        print(f"  {tag:<10s} {ms:8.1f} ms", flush=True)
+        return ms
+
+    g_main = timed("G_main", lambda: trainer.g_main_step(state, z, None,
+                                                         rngs[0])[0])
+    g_reg = timed("G_reg", lambda: trainer.g_reg_step(state, z, None,
+                                                      rngs[1])[0])
+    d_main = timed("D_main", lambda: trainer.d_main_step(state, realm, z,
+                                                         None, rngs[2])[0])
+    d_reg = timed("D_reg", lambda: trainer.d_reg_step(state, realm,
+                                                      None)[0])
+    ema = timed("EMA", lambda: trainer.ema_step(state))
+    gi = float(cfg.g_reg_interval or 1)
+    di = float(cfg.d_reg_interval or 1)
+    amort = g_main + d_main + ema + g_reg / gi + d_reg / di
+    print(f"amortized step (G_reg/{int(gi)}, D_reg/{int(di)}): "
+          f"{amort:.1f} ms ({args.batch*1000/amort:.2f} imgs/s)", flush=True)
 
 
 if __name__ == "__main__":
