@@ -105,7 +105,8 @@ def _conv3x3_kernel(x_hbm, w_ref, o_ref, x_vmem, sems, *, tile_h, width):
 def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
                              tile_h, wg, gain, alpha, use_noise, use_bias,
                              use_resid=False, use_dot=False, use_dd=False,
-                             use_dd_noise=False, dd_gain=1.0, dd_alpha=1.0):
+                             use_dd_noise=False, dd_gain=1.0, dd_alpha=1.0,
+                             use_dw=False):
     """Fused modulated-conv synthesis tail, packed space:
 
         y = lrelu(d * conv3x3(x * s, w) + noise + bias) * gain [+ resid]
@@ -149,6 +150,7 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
     dot_ref = rest.pop(0) if use_dot else None
     dd1_ref = rest.pop(0) if use_dd else None
     dd2_ref = rest.pop(0) if use_dd else None
+    dw_ref = rest.pop(0) if use_dw else None
     x_vmem, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -242,6 +244,36 @@ def _modconv_epilogue_kernel(x_hbm, w_ref, s_ref, d_ref, *rest,
                 tile_h * wg, pc)
             acc = acc + jnp.dot(win, w_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
+    if use_dw:
+        # Packed-kernel WEIGHT gradient, riding the adjoint launch
+        # (training path): with this launch's input x_vmem = gd (haloed,
+        # SAME-pad) and dot_in = the x tile, the packed-space weight
+        # cotangent is dKp[dy_f, gx_f] = sum_tiles u^T @ win(2-dy_f, 2-gx_f)
+        # where u = x*s (the style rides the d slot here, per _modconv_bwd)
+        # — the windows are the very slices the dx conv above already
+        # takes, so dw costs 9 extra MXU dots and ZERO extra HBM traffic
+        # (vs ~full-image f32 tap-einsums in XLA; tools/profile_dw.py
+        # priced those at 13.9 ms/step at 1024^2). The output block is
+        # grid-invariant: it stays VMEM-resident and accumulates across
+        # all (batch, row-tile) steps. Caller folds dKp back to the pixel
+        # kernel via _unpack_kernel_grad.
+        z = dot_in_ref[0].reshape(tile_h * wg, po)
+        u_t = (z.astype(jnp.float32)
+               * _row_select(d_ref, b)[None, :]).astype(xs.dtype)
+
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        for dy in range(3):
+            for dx in range(3):
+                win = x_vmem[slot][dy:dy + tile_h,
+                                   7 + dx:7 + dx + wg, :].reshape(
+                    tile_h * wg, pc)
+                tap = jax.lax.dot_general(
+                    u_t, win, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dw_ref[2 - dy, 2 - dx] += tap
     if use_dot:
         z = dot_in_ref[0].reshape(tile_h * wg, po).astype(jnp.float32)
         partial = jnp.sum(z * acc, axis=0)
@@ -365,6 +397,23 @@ def _pack_kernel(w, pack):
     return kp
 
 
+def _unpack_kernel_grad(dkp, pack, c, o, kw=3):
+    """Exact transpose of _pack_kernel's scatter: fold a packed-space
+    kernel cotangent dKp [KH, 3, pack*c, pack*o] back onto the pixel
+    kernel [KH, kw, c, o]. Entries of dKp at invalid taps (the blocks
+    _pack_kernel left zero) are simply never read."""
+    kh = dkp.shape[0]
+    dw = jnp.zeros((kh, kw, c, o), dkp.dtype)
+    for gx in range(3):
+        for u in range(pack):
+            for j in range(pack):
+                dx = pack * (gx - 1) + u - j + 1
+                if 0 <= dx < kw:
+                    dw = dw.at[:, dx].add(
+                        dkp[:, gx, u * c:(u + 1) * c, j * o:(j + 1) * o])
+    return dw
+
+
 def conv3x3_same_packed(x, w, pack=None):
     """Lane-packed variant of conv3x3_same_pallas: reinterpret [H, W, C] as
     [H, W/pack, pack*C] (a free reshape in NHWC layout) so low-channel
@@ -387,12 +436,14 @@ def conv3x3_same_packed(x, w, pack=None):
     return y.reshape(n, h, width, o)
 
 
-def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2, extra_blocks=0):
+def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2, extra_blocks=0,
+                     fixed_extra=0):
     """VMEM-budgeted row-tile height for the fused modconv kernel.
     esize: bytes per element of the compute dtype (2 bf16 / 4 f32).
     extra_blocks: additional pipelined output-sized input blocks (the
-    backward dd-tap inputs y / packed noise)."""
-    budget = 10 * 1024 * 1024
+    backward dd-tap inputs y / packed noise). fixed_extra: tile-height-
+    independent VMEM bytes (the grid-resident dw accumulator)."""
+    budget = 10 * 1024 * 1024 - fixed_extra
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
     for tile in (128, 64, 32, 16, 8, 4, 2, 1):
         if h % tile:
@@ -412,7 +463,8 @@ def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2, extra_blocks=0):
 
 def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
                     resid_p=None, dot_with=None, dd_with=None,
-                    dd_noise=None, dd_gain=1.0, dd_alpha=1.0):
+                    dd_noise=None, dd_gain=1.0, dd_alpha=1.0,
+                    dw_taps=False):
     """Run the packed fused modconv kernel. xp: packed [N,H,Wg,PC]
     (unpadded); kp: packed [3,3,PC,PO]; s_p [N,PC] (x dtype); d_p [N,PO]
     f32; noise_p [H,Wg,PO] or None; bias_p [PO] f32 or None; resid_p
@@ -430,7 +482,13 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
     (the adjoint launch itself runs gain=alpha=1). dd_noise: the packed
     noise [*,H,Wg,PC] or None. This folds the entire XLA-side dd
     reduction pass (2.5 ms/step at 1024^2, tools/profile_dd.py) into
-    the tiles the adjoint already streams."""
+    the tiles the adjoint already streams.
+
+    dw_taps (requires dot_with; adjoint launch only, where the d slot
+    carries the style) adds a grid-resident f32 output
+    dKp[3, 3, PO, PC] — the packed-space weight cotangent accumulated
+    across every (batch, tile) step from the windows the dx conv
+    already slices (see the kernel's use_dw block)."""
     n, h, wg, pc = xp.shape
     po = kp.shape[-1]
     use_noise = noise_p is not None
@@ -438,13 +496,16 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
     use_resid = resid_p is not None
     use_dot = dot_with is not None
     use_dd = dd_with is not None
+    assert not dw_taps or use_dot, "dw_taps needs the dot_with x tile"
     wgp = 8 + (-(-(wg + 1) // 8) * 8)   # data at [8, wg+8) + right border
     tile_h = _pick_tile_h_mod(h, pc, po, wg,
                               use_noise or use_resid or use_dot,
                               esize=xp.dtype.itemsize,
                               extra_blocks=((1 if use_dd else 0)
                                             + (1 if dd_noise is not None
-                                               else 0)))
+                                               else 0)),
+                              fixed_extra=(2 * 9 * po * pc * 4
+                                           if dw_taps else 0))
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),              # x stays in HBM
@@ -513,6 +574,13 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
         out_shapes += [jax.ShapeDtypeStruct((n, 8 * n_i, pc), jnp.float32),
                        jax.ShapeDtypeStruct((n, 8 * n_i, pc), jnp.float32)]
         out_specs_l += [dd_spec, dd_spec]
+    if dw_taps:
+        # Grid-invariant block: stays VMEM-resident across every step and
+        # is written back once at the end of the launch.
+        out_shapes.append(jax.ShapeDtypeStruct((3, 3, po, pc), jnp.float32))
+        out_specs_l.append(pl.BlockSpec((3, 3, po, pc),
+                                        lambda b, i: (0, 0, 0, 0),
+                                        memory_space=pltpu.VMEM))
 
     single = len(out_shapes) == 1
     out = pl.pallas_call(
@@ -522,7 +590,8 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
                           use_resid=use_resid, use_dot=use_dot,
                           use_dd=use_dd,
                           use_dd_noise=dd_noise is not None,
-                          dd_gain=float(dd_gain), dd_alpha=float(dd_alpha)),
+                          dd_gain=float(dd_gain), dd_alpha=float(dd_alpha),
+                          use_dw=dw_taps),
         out_shape=out_shapes[0] if single else tuple(out_shapes),
         grid=(n, n_i),
         interpret=jax.default_backend() == "cpu",  # tests run interpreted
@@ -724,7 +793,8 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
     # its use_dot tap reduces sum_pixels(x * du) per tile from the f32
     # accumulator (no separate x*du pass, and no bf16 du round-trip).
     need_dd = demodulate and (styles_p or w_p) and not _skip_dd()
-    dx = ds = dd1 = dd2 = None
+    want_dw = w_p and not _skip_dw()
+    dx = ds = dd1 = dd2 = dkp = None
     if x_p or styles_p:
         w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
         kp_t = _pack_kernel(w_t.astype(gd.dtype), pack)
@@ -753,22 +823,26 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
                             h, wg, pack * o).astype(gd.dtype)
             dd_kw = dict(dd_with=y_pk, dd_noise=nzp,
                          dd_gain=gain, dd_alpha=alpha)
-        if styles_p:
-            x_pk = x if packed_io else x.reshape(n, h, wg, pack * c)
-            outs = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None,
-                                   None, 1.0, 1.0, dot_with=x_pk, **dd_kw)
-            if need_dd:
-                dx_pk, dots, dd1, dd2 = outs
-            else:
-                dx_pk, dots = outs
-            ds = jnp.sum(jnp.sum(dots, axis=1).reshape(n, pack, c), axis=1)
-        else:
-            outs = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None, None,
-                                   1.0, 1.0, **dd_kw)
-            if need_dd:
-                dx_pk, dd1, dd2 = outs
-            else:
-                dx_pk = outs
+        # The x tile streams in whenever ds needs its dot tap OR dw its
+        # in-kernel taps (training differentiates both, so one block
+        # serves both reductions).
+        use_dot = styles_p or want_dw
+        x_pk = (x if packed_io
+                else x.reshape(n, h, wg, pack * c)) if use_dot else None
+        outs = _modconv_pallas(gd_pk, kp_t, ones_s, s_out, None, None,
+                               1.0, 1.0, dot_with=x_pk,
+                               dw_taps=want_dw, **dd_kw)
+        outs = list(outs) if isinstance(outs, (tuple, list)) else [outs]
+        dx_pk = outs.pop(0)
+        if use_dot:
+            dots = outs.pop(0)
+            if styles_p:
+                ds = jnp.sum(jnp.sum(dots, axis=1).reshape(n, pack, c),
+                             axis=1)
+        if need_dd:
+            dd1, dd2 = outs.pop(0), outs.pop(0)
+        if want_dw:
+            dkp = outs.pop(0)
         if x_p:
             dx = (dx_pk if packed_io
                   else dx_pk.reshape(n, h, width, c)).astype(x.dtype)
@@ -821,8 +895,18 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
             dwsq = jnp.square(styles.astype(f32)).T @ de       # [C,O]
 
     dw = None
-    if w_p and not _skip_dw():
-        # Training path only: dw[dy,dx,c,o] = sum u_pad[.,y+dy,x+dx,c]*gd'.
+    if want_dw and dkp is not None:
+        # Training path, fused: the adjoint launch accumulated the
+        # packed-space weight cotangent in-kernel (zero extra HBM
+        # traffic); fold it back onto the 3x3 pixel kernel.
+        dw = _unpack_kernel_grad(dkp, pack, c, o)
+        if dwsq is not None:
+            dw = dw + 2.0 * w.astype(f32) * dwsq[None, None]
+        dw = dw.astype(w.dtype)
+    elif want_dw:
+        # Adjoint launch not taken (w differentiated with frozen
+        # x/styles) — XLA tap-einsums over the unpacked tensors:
+        # dw[dy,dx,c,o] = sum u_pad[.,y+dy,x+dx,c]*gd'.
         x_px = grouped(x, c).reshape(n, h, width, c) if packed_io else x
         gd_px = grouped(gd, o).reshape(n, h, width, o) if packed_io else gd
         u = (x_px * styles[:, None, None, :].astype(x.dtype))
@@ -962,14 +1046,25 @@ def _pack_upconv_kernel(kpix, pack_in, pack_out, p0):
     the weight values. The compute kernel skips those dots entirely: for
     the 1x1-up resnet skip (L=4) about half the 18 block matmuls are
     structurally zero; even the 3x3-up conv (L=6) drops one parity row."""
-    import numpy as np
-
     L, _, cin, cout = kpix.shape
     P, Q = pack_in, pack_out
     kpad = jnp.concatenate(
         [kpix, jnp.zeros((1, L, cin, cout), kpix.dtype)], axis=0)
     kpad = jnp.concatenate(
         [kpad, jnp.zeros((L + 1, 1, cin, cout), kpix.dtype)], axis=1)
+
+    t_y, t_x, nonzero = _upconv_taps(L, P, Q, p0)
+    blk = kpad[t_y, t_x]                                   # [2,3,3,P,Q,ci,co]
+    blk = blk.transpose(0, 1, 2, 3, 5, 4, 6)               # [2,3,3,P,ci,Q,co]
+    return blk.reshape(2, 3, 3, P * cin, Q * cout), nonzero
+
+
+def _upconv_taps(L, P, Q, p0):
+    """Static tap geometry of the packed 2x-up conv: index arrays
+    (t_y, t_x) into the zero-row-padded pixel kernel (invalid taps -> L)
+    and the [2][3][3] nonzero-block mask. Pure numpy — callers can get
+    the mask without building the block tensor."""
+    import numpy as np
 
     def tap(t):
         return np.where((t >= 0) & (t < L), t, L)
@@ -986,9 +1081,7 @@ def _pack_upconv_kernel(kpix, pack_in, pack_out, p0):
     nonzero = tuple(tuple(tuple(bool(z) for z in row) for row in par)
                     for par in np.logical_not(
                         np.all((t_y == L) | (t_x == L), axis=(3, 4))))
-    blk = kpad[t_y, t_x]                                   # [2,3,3,P,Q,ci,co]
-    blk = blk.transpose(0, 1, 2, 3, 5, 4, 6)               # [2,3,3,P,ci,Q,co]
-    return blk.reshape(2, 3, 3, P * cin, Q * cout), nonzero
+    return t_y, t_x, nonzero
 
 
 def _pack_downconv_kernel(kpix, pack_in, pack_out, p0):
@@ -1119,7 +1212,8 @@ def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
                             use_scale=False, use_dot=False,
                             gain=1.0, alpha=1.0, use_bias=False,
                             use_resid=False, use_dd=False,
-                            use_dd_noise=False, dd_gain=1.0, dd_alpha=1.0):
+                            use_dd_noise=False, dd_gain=1.0, dd_alpha=1.0,
+                            use_dw=False, dw_mask=None):
     """Strided 2x-down packed conv: output tile rows [s0, s0+tile_s) at
     the HALF resolution read full-res rows [2*s0-2, 2*s0+2*tile_s+2) with
     a 2-row halo each side. w_ref: [6, 3, QO, PC]. Serves two roles with
@@ -1153,6 +1247,7 @@ def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
     dot_ref = rest.pop(0) if use_dot else None
     dd1_ref = rest.pop(0) if use_dd else None
     dd2_ref = rest.pop(0) if use_dd else None
+    dw_ref = rest.pop(0) if use_dw else None
     g_vmem, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -1237,6 +1332,36 @@ def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
                      7 + gx:7 + gx + wg, :].reshape(tile_s * wg, qo)
             acc = acc + jnp.dot(win, w_ref[dr, gx],
                                 preferred_element_type=jnp.float32)
+    if use_dw:
+        # Packed up-conv WEIGHT gradient, riding this adjoint launch
+        # (training path): with g_vmem = the haloed output-res gd and
+        # dot_in = the input-res x tile, the up-conv's packed block
+        # cotangent is dBlk[par, dy, gxf] = sum_tiles u^T @ win(dr, gxw)
+        # with dr = 2*(2-dy)+par, gxw = 2-gxf — the SAME window slices the
+        # dx conv above takes, so dw costs only the extra MXU dots (the
+        # former XLA path re-ran a full conv-transpose weight grad over
+        # output-res tensors). Accumulated DOWN-indexed [6, 3, PC, QO] in
+        # a grid-invariant VMEM block; the caller remaps to up indices and
+        # folds back through _pack_upconv_kernel/_compose_kernel_fir.
+        # dw_mask marks blocks structurally zero in the UP kernel.
+        z = dot_in_ref[0].reshape(tile_s * wg, pc)
+        u_t = (z.astype(jnp.float32)
+               * _row_select(scale_ref, b)[None, :]).astype(g.dtype)
+
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        for dr in range(6):
+            for gx in range(3):
+                if not dw_mask[dr][gx]:
+                    continue
+                win = g2[dr // 2:dr // 2 + tile_s, dr % 2,
+                         7 + gx:7 + gx + wg, :].reshape(tile_s * wg, qo)
+                tap = jax.lax.dot_general(
+                    u_t, win, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dw_ref[dr, gx] += tap
     if use_dot:
         z = dot_in_ref[0].reshape(tile_s * wg, pc).astype(jnp.float32)
         partial = jnp.sum(z * acc, axis=0)
@@ -1338,7 +1463,7 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
 def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
                             bias_p=None, gain=1.0, alpha=1.0, resid_p=None,
                             dd_with=None, dd_noise=None, dd_gain=1.0,
-                            dd_alpha=1.0):
+                            dd_alpha=1.0, dw_taps=False, dw_mask=None):
     """Strided 2x-down packed conv (adjoint of _packed_upconv_pallas, or
     the D tower's forward down-conv). gp: [N, H_out, G, QO]; kdown:
     [6, 3, QO, PC]; mask: static nonzero-block mask [6][3] from
@@ -1348,7 +1473,13 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
     sum_pixels(dot_with * pre-scale adjoint) — the ds reduction);
     bias_p [PC] f32 / gain / alpha / resid_p [N, H_in, G, PC]: the fused
     forward epilogue bias + lrelu(alpha) * gain [+ resid].
-    Returns [N, H_out//2, G, PC] (plus dots when dot_with is given)."""
+    Returns [N, H_out//2, G, PC] (plus dots when dot_with is given).
+
+    dw_taps (requires dot_with and scale; adjoint launch only) adds a
+    grid-resident f32 output [6, 3, PC, QO] — the up-conv's packed block
+    cotangent in DOWN indexing, accumulated across every (batch, tile)
+    step (see the kernel's use_dw block). dw_mask: static [6][3]
+    nonzero mask of the UP kernel blocks, remapped to down indices."""
     n, h_out, wg, qo = gp.shape
     pc = kdown.shape[-1]
     h_in = h_out // 2
@@ -1358,10 +1489,11 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
     use_bias = bias_p is not None
     use_resid = resid_p is not None
     use_dd = dd_with is not None
+    assert not dw_taps or (use_dot and use_scale and dw_mask is not None)
     dd_blocks = (1 if use_dd else 0) + (1 if dd_noise is not None else 0)
 
     es = gp.dtype.itemsize
-    budget = 10 * 1024 * 1024
+    budget = 10 * 1024 * 1024 - (2 * 18 * pc * qo * 4 if dw_taps else 0)
     tile_s = 2
     for t in (32, 16, 8, 4, 2):
         if h_in % t:
@@ -1434,6 +1566,13 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
         out_shapes += [jax.ShapeDtypeStruct((n, 8 * n_i, qo), jnp.float32),
                        jax.ShapeDtypeStruct((n, 8 * n_i, qo), jnp.float32)]
         out_specs_l += [dd_spec, dd_spec]
+    if dw_taps:
+        # Grid-invariant block: stays VMEM-resident and accumulates
+        # across every step, written back once at the end.
+        out_shapes.append(jax.ShapeDtypeStruct((6, 3, pc, qo), jnp.float32))
+        out_specs_l.append(pl.BlockSpec((6, 3, pc, qo),
+                                        lambda b, i: (0, 0, 0, 0),
+                                        memory_space=pltpu.VMEM))
 
     single = len(out_shapes) == 1
     return pl.pallas_call(
@@ -1443,7 +1582,8 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
                           use_bias=use_bias, use_resid=use_resid,
                           use_dd=use_dd,
                           use_dd_noise=dd_noise is not None,
-                          dd_gain=float(dd_gain), dd_alpha=float(dd_alpha)),
+                          dd_gain=float(dd_gain), dd_alpha=float(dd_alpha),
+                          use_dw=dw_taps, dw_mask=dw_mask),
         out_shape=out_shapes[0] if single else tuple(out_shapes),
         grid=(n, n_i),
         interpret=jax.default_backend() == "cpu",
@@ -1561,7 +1701,8 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
     # in-kernel dot tap, reduced from the f32 accumulator — no bf16 du
     # round-trip and no separate x*du pass). See _packed_downconv_kernel.
     need_dd = demodulate and (styles_p or w_p) and not _skip_dd()
-    dx = ds = dd1 = dd2 = None
+    want_dw = w_p and not _skip_dw()
+    dx = ds = dd1 = dd2 = dw_down = None
     s = styles if styles is not None else jnp.ones((n, cin), f32)
     s_p = jnp.tile(s.astype(f32), (1, P))
     if x_p or styles_p:
@@ -1580,21 +1721,31 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
                         *lead, h_out, wg, Q * cout).astype(gd.dtype)
             dd_kw = dict(dd_with=y.astype(gd.dtype), dd_noise=nzp,
                          dd_gain=gain, dd_alpha=alpha)
-        if styles_p:
-            outs = _packed_downconv_pallas(gd, kdown, mask=kd_mask,
-                                           scale=s_p, dot_with=x, **dd_kw)
-            if need_dd:
-                dxq, dots, dd1, dd2 = outs
-            else:
-                dxq, dots = outs
-            ds = jnp.sum(jnp.sum(dots, axis=1).reshape(n, P, cin), axis=1)
-        else:
-            outs = _packed_downconv_pallas(gd, kdown, mask=kd_mask,
-                                           scale=s_p, **dd_kw)
-            if need_dd:
-                dxq, dd1, dd2 = outs
-            else:
-                dxq = outs
+        dw_kw = {}
+        if want_dw:
+            # In-kernel dw taps: skip blocks structurally zero in the UP
+            # kernel, remapped to the adjoint's down indices
+            # (dr = 2*(2-dy)+par, gxw = 2-gxf).
+            up_mask = _upconv_taps(kpix.shape[0], P, Q, p0)[2]
+            dw_kw = dict(dw_taps=True, dw_mask=tuple(
+                tuple(up_mask[dr % 2][2 - dr // 2][2 - gxw]
+                      for gxw in range(3)) for dr in range(6)))
+        # The x tile streams in for the ds dot tap and/or the dw taps.
+        use_dot = styles_p or want_dw
+        outs = _packed_downconv_pallas(gd, kdown, mask=kd_mask, scale=s_p,
+                                       dot_with=(x if use_dot else None),
+                                       **dd_kw, **dw_kw)
+        outs = list(outs) if isinstance(outs, (tuple, list)) else [outs]
+        dxq = outs.pop(0)
+        if use_dot:
+            dots = outs.pop(0)
+            if styles_p:
+                ds = jnp.sum(jnp.sum(dots, axis=1).reshape(n, P, cin),
+                             axis=1)
+        if need_dd:
+            dd1, dd2 = outs.pop(0), outs.pop(0)
+        if want_dw:
+            dw_down = outs.pop(0)
         if x_p:
             dx = dxq.astype(x.dtype)
 
@@ -1647,8 +1798,32 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
             dwsq = jnp.square(s.astype(f32)).T @ de
 
     dw = None
-    if w_p and not _skip_dw():
-        # Training path: vjp of the unpacked XLA reference composition
+    if want_dw and dw_down is not None:
+        # Training path, fused: the adjoint launch accumulated the packed
+        # block cotangent in-kernel (down-indexed). Remap to up indices
+        # and fold back through the two linear packings — block kernels
+        # <- composed pixel kernel <- 3x3 weight — via their exact
+        # transposes (tiny tensors; jax.linear_transpose of the literal
+        # forward packing code keeps them consistent by construction).
+        dblk = jnp.stack([
+            jnp.stack([
+                jnp.stack([dw_down[2 * (2 - dy) + par, 2 - gxf]
+                           for gxf in range(3)], 0)
+                for dy in range(3)], 0)
+            for par in range(2)], 0)                    # [2,3,3,PC,QO]
+        dkpix = jax.linear_transpose(
+            lambda kp_: _pack_upconv_kernel(kp_, P, Q, p0)[0],
+            jax.ShapeDtypeStruct(kpix.shape, f32))(dblk)[0]
+        dw = jax.linear_transpose(
+            lambda w_: _compose_kernel_fir(w_, f, flip_weight, False,
+                                           gain=4.0),
+            jax.ShapeDtypeStruct(w.shape, f32))(dkpix)[0]
+        if dwsq is not None:
+            dw = dw + 2.0 * w.astype(f32) * dwsq[None, None]
+        dw = dw.astype(w.dtype)
+    elif want_dw:
+        # Adjoint launch not taken (w differentiated with frozen
+        # x/styles): vjp of the unpacked XLA reference composition
         # w.r.t. the weight (exactly the unfused semantics).
         from morphganformer_tpu.ops.modulated_conv import modulated_conv2d
         x_unp = x.reshape(n, h_in, wg, P, cin).reshape(n, h_in, wg * P, cin)
