@@ -1116,16 +1116,31 @@ def _pack_downconv_kernel(kpix, pack_in, pack_out, p0):
 
 def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
                           tile_out, wg, gain, alpha, use_noise, use_bias,
-                          masks):
+                          masks, use_dw=False):
     """Packed 2x-up modulated conv + demod + noise + bias + lrelu. Output
     tile rows [r0, r0+tile_out) draw on input rows r0//2 - 1 .. r0//2 +
     tile_out//2 (+1 halo each side, same VMEM-halo scheme as
-    _modconv_epilogue_kernel). we/wo: parity block kernels [3,3,PC,QO]."""
+    _modconv_epilogue_kernel). we/wo: parity block kernels [3,3,PC,QO].
+
+    use_dw (dconv-adjoint launches only, styles==1): an extra pipelined
+    input block u [tile_out, wg, QO] (the down-conv's saved input x at
+    this launch's OUTPUT resolution) and a grid-resident f32 output
+    dBlk [2, 3, 3, PC, QO] accumulating the parity block kernels'
+    cotangent under <u, output>: dBlk[par, dy, gx] += win(dy,gx)^T @
+    u_par — the very window slices the dx dots below already take, so
+    the down-conv's WEIGHT gradient costs 9 extra MXU dots per parity
+    and zero extra HBM traffic (the caller folds dBlk back through the
+    linear packing chain)."""
     if use_noise:
         noise_ref, rest = rest[0], rest[1:]
     if use_bias:
         bias_ref, rest = rest[0], rest[1:]
-    o_ref, x_vmem, sems = rest
+    if use_dw:
+        u_ref, rest = rest[0], rest[1:]
+    o_ref, *rest = rest
+    if use_dw:
+        dw_ref, *rest = rest
+    x_vmem, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
@@ -1181,9 +1196,16 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
                 x_vmem[slot, tile_in + 1])
 
     xs = x_vmem[slot] * _row_select(s_ref, b)[None, None, :]
+    if use_dw:
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+        u = u_ref[0].reshape(tile_in, 2, wg, po)   # rows split by parity
     accs = []
-    for w_ref, mask in zip((we_ref, wo_ref), masks):
+    for par, (w_ref, mask) in enumerate(zip((we_ref, wo_ref), masks)):
         acc = jnp.zeros((tile_in * wg, po), jnp.float32)
+        if use_dw:
+            u_par = u[:, par].reshape(tile_in * wg, po)
         for dy in range(3):
             for dx in range(3):
                 if not mask[dy][dx]:
@@ -1192,6 +1214,10 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
                     tile_in * wg, pc)
                 acc = acc + jnp.dot(win, w_ref[dy, dx],
                                     preferred_element_type=jnp.float32)
+                if use_dw:
+                    dw_ref[par, dy, dx] += jax.lax.dot_general(
+                        win, u_par, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         accs.append(acc.reshape(tile_in, 1, wg, po))
     # Interleave even/odd output rows: [tile_in, 2, wg, po] -> [tile_out,...]
     y = jnp.concatenate(accs, axis=1).reshape(tile_out, wg, po)
@@ -1383,21 +1409,29 @@ def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
 
 
 def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
-                          masks=None):
+                          masks=None, dot_with=None, dw_taps=False):
     """Run the packed up-conv kernel. xp: [N, H_in, G, PC]; blk:
     [2, 3, 3, PC, QO] parity kernels; s_p [N, PC]; d_p [N, QO] f32;
     noise_p [H_out, G, QO] or None; bias_p [QO] f32 or None; masks:
     static nonzero-block mask [2][3][3] from _pack_upconv_kernel (None =
-    treat every block as nonzero). Returns [N, 2*H_in, G, QO]."""
+    treat every block as nonzero). Returns [N, 2*H_in, G, QO].
+
+    dw_taps (dconv-adjoint launches only; requires dot_with, the saved
+    down-conv input [N, H_out, G, QO]): adds a grid-resident f32 output
+    dBlk [2, 3, 3, PC, QO] — the parity block kernels' cotangent under
+    <dot_with, output>, accumulated across every (batch, tile) step (see
+    the kernel's use_dw block). Returns (y, dBlk)."""
     n, h_in, wg, pc = xp.shape
     qo = blk.shape[-1]
     h_out = 2 * h_in
     use_noise = noise_p is not None
     use_bias = bias_p is not None
+    assert not dw_taps or dot_with is not None
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
 
     es = xp.dtype.itemsize
-    budget = 10 * 1024 * 1024
+    budget = (10 * 1024 * 1024
+              - (2 * 9 * pc * qo * 4 if dw_taps else 0))
     tile_out = 2
     for t in (32, 16, 8, 4, 2):
         if h_out % t:
@@ -1405,6 +1439,7 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
         ti = t // 2
         need = (2 * (ti + 2) * wgp * pc * es + 2 * t * wg * qo * es
                 + (2 * t * wg * qo * es if use_noise else 0)
+                + (2 * t * wg * qo * es if dw_taps else 0)
                 + 2 * ti * wg * qo * 4 + (ti + 2) * wgp * pc * es)
         if need <= budget:
             tile_out = t
@@ -1434,6 +1469,11 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
         in_specs.append(pl.BlockSpec((1, qo), lambda b, i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bias_p[None].astype(jnp.float32))
+    if dw_taps:
+        in_specs.append(pl.BlockSpec((1, tile_out, wg, qo),
+                                     lambda b, i: (b, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dot_with)
 
     if masks is None:
         masks = (((True,) * 3,) * 3,) * 2
@@ -1442,17 +1482,30 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
         _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
                               tile_out=tile_out, wg=wg, gain=float(gain),
                               alpha=float(alpha), use_noise=use_noise,
-                              use_bias=use_bias, masks=masks)
+                              use_bias=use_bias, masks=masks,
+                              use_dw=dw_taps)
 
+    out_shapes = [jax.ShapeDtypeStruct((n, h_out, wg, qo), xp.dtype)]
+    out_specs_l = [pl.BlockSpec((1, tile_out, wg, qo),
+                                lambda b, i: (b, i, 0, 0),
+                                memory_space=pltpu.VMEM)]
+    if dw_taps:
+        # Grid-invariant block: stays VMEM-resident across every step and
+        # is written back once at the end of the launch.
+        out_shapes.append(
+            jax.ShapeDtypeStruct((2, 3, 3, pc, qo), jnp.float32))
+        out_specs_l.append(pl.BlockSpec((2, 3, 3, pc, qo),
+                                        lambda b, i: (0, 0, 0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+
+    single = len(out_shapes) == 1
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, h_out, wg, qo), xp.dtype),
+        out_shape=out_shapes[0] if single else tuple(out_shapes),
         grid=(n, h_out // tile_out),
         interpret=jax.default_backend() == "cpu",
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile_out, wg, qo),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs_l[0] if single else tuple(out_specs_l),
         scratch_shapes=[
             pltpu.VMEM((2, tile_out // 2 + 2, wgp, pc), xp.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -2044,12 +2097,13 @@ def fused_packed_dconv2(x, w, f, bias, resid, gain, alpha, flip_weight):
 def _dconv_fwd(x, w, f, bias, resid, gain, alpha, flip_weight):
     bias_v = None if bias is None else bias.value
     resid_v = None if resid is None else resid.value
-    y, K, q0 = _dconv_fwd_impl(x.value, w.value, f.value, bias_v, gain,
+    f_v = None if f is None else f.value
+    y, K, q0 = _dconv_fwd_impl(x.value, w.value, f_v, bias_v, gain,
                                alpha, flip_weight, resid_v)
     flags = (_tok(x.perturbed), _tok(w.perturbed),
              _tok(bias is not None and bias.perturbed),
              _tok(resid is not None and resid.perturbed))
-    return y, (x.value, w.value, f.value, bias_v, resid_v, y, K, q0, flags)
+    return y, (x.value, w.value, f_v, bias_v, resid_v, y, K, q0, flags)
 
 
 def _dconv_bwd(gain, alpha, flip_weight, res, g):
@@ -2070,22 +2124,44 @@ def _dconv_bwd(gain, alpha, flip_weight, res, g):
                      jnp.asarray(gain * alpha, g.dtype))
     gz = g * mask                                     # dL/d(conv+bias)
 
-    dx = None
+    want_dw = w_p and not _skip_dw()
+    dx = dblk = None
     if x_p:
         # Adjoint: dx[r] = sum_m K[r - 2m + q0] gz[m] =
         # sum_m flip(K)[2m - r + (L-1-q0)] gz[m] — a packed 2x-UP conv of
-        # the gradient with the flipped, channel-swapped kernel.
+        # the gradient with the flipped, channel-swapped kernel. When the
+        # weight is differentiated too (training), the launch also
+        # accumulates the block kernels' cotangent in-kernel from the
+        # saved input x: <x, upconv(gz; blk)> == <downconv(x; K), gz>, so
+        # d<loss>/dblk falls out of the very windows the dx dots slice.
         Tup = K[::-1, ::-1].transpose(0, 1, 3, 2)
         blk, bmask = _pack_upconv_kernel(Tup.astype(gz.dtype), P, Q,
                                          L - 1 - q0)
         ones_s = jnp.ones((n, P * cout), gz.dtype)
         ones_d = jnp.ones((n, Q * cin), f32)
-        dx = _packed_upconv_pallas(gz, blk, ones_s, ones_d, None, None,
-                                   1.0, 1.0, masks=bmask).astype(x.dtype)
+        outs = _packed_upconv_pallas(
+            gz, blk, ones_s, ones_d, None, None, 1.0, 1.0, masks=bmask,
+            dot_with=x.astype(gz.dtype) if want_dw else None,
+            dw_taps=want_dw)
+        dxq, dblk = outs if want_dw else (outs, None)
+        dx = dxq.astype(x.dtype)
 
     dw = None
-    if w_p and not _skip_dw():
-        # Training path: vjp of the XLA reference composition w.r.t. w.
+    if want_dw and dblk is not None:
+        # Fused path: fold the in-kernel block cotangent back onto the
+        # 3x3 weight through the exact transpose of the (linear) packing
+        # chain w -> K -> flip/swap -> parity blocks.
+        def w_to_blk(w_):
+            K_ = _dconv_compose(w_, f, flip_weight)[0]
+            T_ = K_[::-1, ::-1].transpose(0, 1, 3, 2)
+            return _pack_upconv_kernel(T_, P, Q, L - 1 - q0)[0]
+
+        dw = jax.linear_transpose(
+            w_to_blk, jax.ShapeDtypeStruct(w.shape, f32))(dblk)[0]
+        dw = dw.astype(w.dtype)
+    elif want_dw:
+        # Adjoint launch not taken (w differentiated with frozen x):
+        # vjp of the XLA reference composition w.r.t. w.
         from morphganformer_tpu.ops.conv2d_resample import conv2d_resample
         x_px = x.reshape(n, h, wg, Q, cin).reshape(n, h, wg * Q, cin)
         gz_px = gz.astype(f32).reshape(n, h // 2, wg, P, cout).reshape(
@@ -2106,7 +2182,7 @@ def _dconv_bwd(gain, alpha, flip_weight, res, g):
 
     return (dx if dx is not None else jnp.zeros_like(x),
             dw if dw is not None else jnp.zeros_like(w),
-            jnp.zeros_like(f), dbias, dresid)
+            None if f is None else jnp.zeros_like(f), dbias, dresid)
 
 
 fused_packed_dconv2.defvjp(_dconv_fwd, _dconv_bwd, symbolic_zeros=True)

@@ -192,9 +192,11 @@ def test_upconv_dw_wide_lane_c256_shape():
                                rtol=3e-4, atol=3e-4)
 
 
-def test_dconv_dw_still_matches_unpacked():
-    """The D-tower down-conv keeps its XLA vjp dw (no in-kernel taps yet)
-    — regression-pin it against the reference composition."""
+def test_dconv_dw_matches_unpacked():
+    """The D-tower down-conv's dw rides the adjoint up-conv launch
+    (in-kernel taps, folded back through linear_transpose of the packing
+    chain) — pin it against the reference composition, and the w-only
+    XLA-vjp fallback against both."""
     n, h, cin, cout = 2, 16, 8, 16
     Q = 128 // cin
     P = Q // 2
@@ -218,6 +220,47 @@ def test_dconv_dw_still_matches_unpacked():
 
     def fused(xx, ww):
         y = fused_packed_dconv2(xx, ww, f, b, None, 1.4, 0.2, True)
+        return jnp.sum(y * gtan)
+
+    _, dw_fused = jax.grad(fused, argnums=(0, 1))(x, w)
+    dw_ref = jax.grad(ref)(w)
+    np.testing.assert_allclose(np.asarray(dw_fused), np.asarray(dw_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # w-only grad: the adjoint launch is skipped and dw falls back to the
+    # XLA vjp of the composition.
+    dw_fallback = jax.grad(lambda ww: fused(x, ww))(w)
+    np.testing.assert_allclose(np.asarray(dw_fallback), np.asarray(dw_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dconv_dw_with_resid_and_fir_none():
+    """dconv dw through the resnet-skip epilogue (resid added in-kernel)
+    and with f=None (no FIR composition in the fold-back chain)."""
+    n, h, cin, cout = 2, 8, 8, 16
+    Q = 128 // cin
+    P = Q // 2
+    G = 2
+    wdt = G * Q
+    x = _rand(0, (n, h, G, Q * cin))
+    w = _rand(1, (3, 3, cin, cout), 0.3)
+    resid = _rand(2, (n, h // 2, G, P * cout), 0.5)
+    gtan = _rand(5, (n, h // 2, G, P * cout))
+
+    x_px = x.reshape(n, h, G, Q, cin).reshape(n, h, wdt, cin)
+    gt_px = gtan.reshape(n, h // 2, G, P, cout).reshape(
+        n, h // 2, wdt // 2, cout)
+    resid_px = resid.reshape(n, h // 2, G, P, cout).reshape(
+        n, h // 2, wdt // 2, cout)
+
+    def ref(ww):
+        y = conv2d_resample(x_px, ww, f=None, down=2, padding=1,
+                            flip_weight=True)
+        y = _lrelu(y, 1.4, 0.2) + resid_px
+        return jnp.sum(y * gt_px)
+
+    def fused(xx, ww):
+        y = fused_packed_dconv2(xx, ww, None, None, resid, 1.4, 0.2, True)
         return jnp.sum(y * gtan)
 
     _, dw_fused = jax.grad(fused, argnums=(0, 1))(x, w)

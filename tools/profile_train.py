@@ -19,9 +19,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/prof_cache_train")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def main():
@@ -29,6 +36,12 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--stages", action="store_true",
+                    help="also time the four stages individually (their "
+                    "executables are warmed BEFORE the full iteration: "
+                    "after the big iteration executable has run, loading "
+                    "any NEW program dies with a relay InvalidArgument — "
+                    "HBM is exhausted at 1024^2 batch 4)")
     args = ap.parse_args()
 
     from morphganformer_tpu.models import ffhq1024_config
@@ -47,13 +60,44 @@ def main():
     state = trainer.init_state(seed=0)
     print(f"init {time.perf_counter()-t0:.1f}s", flush=True)
 
-    real = jax.random.normal(
-        jax.random.PRNGKey(0),
-        (1, args.batch, args.res, args.res, 3), jnp.bfloat16)
+    # Prepare EVERY stage input up front, host-side: after the heavy
+    # train executables have run on the relay, even a tiny eager op
+    # (rngs[0] slicing, real[0]) deterministically dies with a TPU
+    # InvalidArgument — so nothing below the timing loops may trigger a
+    # fresh eager dispatch.
+    rng_np = np.random.RandomState(0)
+    real = jnp.asarray(
+        rng_np.randn(1, args.batch, args.res, args.res, 3), jnp.bfloat16)
+    n_acc = trainer.n_accum if args.batch % trainer.n_accum == 0 else 1
+    micro = args.batch // n_acc
+    z_st = jnp.asarray(rng_np.randn(n_acc, micro, g_cfg.k, g_cfg.z_dim),
+                       jnp.float32)
+    realm = jnp.asarray(np.asarray(
+        rng_np.randn(n_acc, micro, args.res, args.res, 3)), jnp.bfloat16)
+    rngs = [jax.random.PRNGKey(40 + j) for j in range(4)]
 
     def step(state, i):
         return trainer.train_iteration(state, real[0] + i * 1e-6,
                                        jax.random.PRNGKey(2), step=0)
+
+    def stage_fns():
+        return [
+            ("G_main", lambda: trainer.g_main_step(state, z_st, None,
+                                                   rngs[0])[0]),
+            ("G_reg", lambda: trainer.g_reg_step(state, z_st, None,
+                                                 rngs[1])[0]),
+            ("D_main", lambda: trainer.d_main_step(state, realm, z_st,
+                                                   None, rngs[2])[0]),
+            ("D_reg", lambda: trainer.d_reg_step(state, realm, None)[0]),
+            ("EMA", lambda: trainer.ema_step(state)),
+        ]
+
+    if args.stages:
+        t0 = time.perf_counter()
+        for tag, fn in stage_fns():
+            float(jnp.sum(fn()["pl_mean"]))
+        print(f"stage compile+warm {time.perf_counter()-t0:.1f}s",
+              flush=True)
 
     t0 = time.perf_counter()
     state, stats = step(state, 0)
@@ -72,37 +116,31 @@ def main():
     for k, v in stats.items():
         print(f"  {k}: {float(jnp.mean(v)):.4f}", flush=True)
 
+    if not args.stages:
+        return
+
     # Per-stage timing + the honest amortized step (G_reg every 4 steps,
     # D_reg every 16 — reference run_network.py lazy regularization).
-    n = trainer.n_accum if args.batch % trainer.n_accum == 0 else 1
-    micro = args.batch // n
-    z = jax.random.normal(jax.random.PRNGKey(3),
-                          (n, micro, g_cfg.k, g_cfg.z_dim))
-    realm = real[0].reshape((n, micro) + real[0].shape[1:])
-    rngs = jax.random.split(jax.random.PRNGKey(4), 4)
-
+    # Stage executables were compiled and warmed up top.
     def timed(tag, fn, reps=args.reps):
-        fn()  # warm (already compiled via train_iteration)
+        fn()
         t0 = time.perf_counter()
+        out = None
         for _ in range(reps):
             out = fn()
-        float(jnp.sum(out["pl_mean"]))
+        if isinstance(out, dict):
+            float(jnp.sum(out["pl_mean"]))
+        else:
+            float(jnp.sum(jax.tree.leaves(out)[0]))
         ms = (time.perf_counter() - t0) / reps * 1000
         print(f"  {tag:<10s} {ms:8.1f} ms", flush=True)
         return ms
 
-    g_main = timed("G_main", lambda: trainer.g_main_step(state, z, None,
-                                                         rngs[0])[0])
-    g_reg = timed("G_reg", lambda: trainer.g_reg_step(state, z, None,
-                                                      rngs[1])[0])
-    d_main = timed("D_main", lambda: trainer.d_main_step(state, realm, z,
-                                                         None, rngs[2])[0])
-    d_reg = timed("D_reg", lambda: trainer.d_reg_step(state, realm,
-                                                      None)[0])
-    ema = timed("EMA", lambda: trainer.ema_step(state))
+    parts = {tag: timed(tag, fn) for tag, fn in stage_fns()}
     gi = float(cfg.g_reg_interval or 1)
     di = float(cfg.d_reg_interval or 1)
-    amort = g_main + d_main + ema + g_reg / gi + d_reg / di
+    amort = (parts["G_main"] + parts["D_main"] + parts["EMA"]
+             + parts["G_reg"] / gi + parts["D_reg"] / di)
     print(f"amortized step (G_reg/{int(gi)}, D_reg/{int(di)}): "
           f"{amort:.1f} ms ({args.batch*1000/amort:.2f} imgs/s)", flush=True)
 
