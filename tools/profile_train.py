@@ -80,41 +80,48 @@ def main():
         return trainer.train_iteration(state, real[0] + i * 1e-6,
                                        jax.random.PRNGKey(2), step=0)
 
+    # Every stage jit donates `state`, so each call consumes its input
+    # state and the tool must thread the returned one through.
     def stage_fns():
         return [
-            ("G_main", lambda: trainer.g_main_step(state, z_st, None,
-                                                   rngs[0])[0]),
-            ("G_reg", lambda: trainer.g_reg_step(state, z_st, None,
-                                                 rngs[1])[0]),
-            ("D_main", lambda: trainer.d_main_step(state, realm, z_st,
-                                                   None, rngs[2])[0]),
-            ("D_reg", lambda: trainer.d_reg_step(state, realm, None)[0]),
-            ("EMA", lambda: trainer.ema_step(state)),
+            ("G_main", lambda st: trainer.g_main_step(st, z_st, None,
+                                                      rngs[0])[0]),
+            ("G_reg", lambda st: trainer.g_reg_step(st, z_st, None,
+                                                    rngs[1])[0]),
+            ("D_main", lambda st: trainer.d_main_step(st, realm, z_st,
+                                                      None, rngs[2])[0]),
+            ("D_reg", lambda st: trainer.d_reg_step(st, realm, None)[0]),
+            ("EMA", lambda st: trainer.ema_step(st)),
         ]
 
     if args.stages:
+        # Stage-only mode: never load the full-iteration executable in
+        # this process — HBM at 1024^2 batch 4 cannot hold both (the
+        # second load dies with a relay InvalidArgument).
         t0 = time.perf_counter()
         for tag, fn in stage_fns():
-            float(jnp.sum(fn()["pl_mean"]))
+            state = fn(state)
+            float(jnp.sum(state["pl_mean"]))
         print(f"stage compile+warm {time.perf_counter()-t0:.1f}s",
               flush=True)
 
-    t0 = time.perf_counter()
-    state, stats = step(state, 0)
-    float(jnp.sum(state["pl_mean"]))
-    print(f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
-    state, stats = step(state, 1)
-    float(jnp.sum(state["pl_mean"]))
+    if not args.stages:
+        t0 = time.perf_counter()
+        state, stats = step(state, 0)
+        float(jnp.sum(state["pl_mean"]))
+        print(f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+        state, stats = step(state, 1)
+        float(jnp.sum(state["pl_mean"]))
 
-    t0 = time.perf_counter()
-    for i in range(args.reps):
-        state, stats = step(state, i)
-    float(jnp.sum(state["pl_mean"]))
-    dt = (time.perf_counter() - t0) / args.reps
-    print(f"train iteration (all stages every step): {dt*1000:.1f} ms "
-          f"({args.batch/dt:.2f} imgs/s)", flush=True)
-    for k, v in stats.items():
-        print(f"  {k}: {float(jnp.mean(v)):.4f}", flush=True)
+        t0 = time.perf_counter()
+        for i in range(args.reps):
+            state, stats = step(state, i)
+        float(jnp.sum(state["pl_mean"]))
+        dt = (time.perf_counter() - t0) / args.reps
+        print(f"train iteration (all stages every step): {dt*1000:.1f} ms "
+              f"({args.batch/dt:.2f} imgs/s)", flush=True)
+        for k, v in stats.items():
+            print(f"  {k}: {float(jnp.mean(v)):.4f}", flush=True)
 
     if not args.stages:
         return
@@ -123,20 +130,24 @@ def main():
     # D_reg every 16 — reference run_network.py lazy regularization).
     # Stage executables were compiled and warmed up top.
     def timed(tag, fn, reps=args.reps):
-        fn()
+        nonlocal_state = [state]
+
+        def call():
+            nonlocal_state[0] = fn(nonlocal_state[0])
+
+        call()
+        float(jnp.sum(nonlocal_state[0]["pl_mean"]))
         t0 = time.perf_counter()
-        out = None
         for _ in range(reps):
-            out = fn()
-        if isinstance(out, dict):
-            float(jnp.sum(out["pl_mean"]))
-        else:
-            float(jnp.sum(jax.tree.leaves(out)[0]))
+            call()
+        float(jnp.sum(nonlocal_state[0]["pl_mean"]))
         ms = (time.perf_counter() - t0) / reps * 1000
         print(f"  {tag:<10s} {ms:8.1f} ms", flush=True)
-        return ms
+        return ms, nonlocal_state[0]
 
-    parts = {tag: timed(tag, fn) for tag, fn in stage_fns()}
+    parts = {}
+    for tag, fn in stage_fns():
+        parts[tag], state = timed(tag, fn)
     gi = float(cfg.g_reg_interval or 1)
     di = float(cfg.d_reg_interval or 1)
     amort = (parts["G_main"] + parts["D_main"] + parts["EMA"]
