@@ -732,21 +732,43 @@ def _modconv_fwd(x, w, styles, noise, bias, resid, gain, alpha, demodulate,
     noise_v = None if noise is None else noise.value
     bias_v = None if bias is None else bias.value
     resid_v = None if resid is None else resid.value
-    y, d = _modconv_fwd_impl(x.value, w.value, styles.value, noise_v, bias_v,
-                             gain, alpha, demodulate, packed_io,
-                             resid=resid_v)
     flags = (_tok(w.perturbed),
              _tok(noise is not None and noise.perturbed),
              _tok(bias is not None and bias.perturbed),
              _tok(styles.perturbed),
              _tok(x.perturbed),
              _tok(resid is not None and resid.perturbed))
+    from morphganformer_tpu.ops.second_order import packed_second_order
+    if packed_second_order():
+        # Second-order route (MGT_PACKED_SECOND_ORDER=1): the forward
+        # launch goes through a protected apply-op so the OUTER
+        # differentiation of a grad-of-grad stage (PL/R1) can linearize
+        # it; y/d residuals are recomputed inside the routed backward.
+        from morphganformer_tpu.ops import second_order as so
+        y = so.modconv_apply_so(x.value, w.value, styles.value, noise_v,
+                                bias_v, resid_v, gain, alpha, demodulate,
+                                packed_io)
+        return y, (x.value, w.value, styles.value, noise_v, bias_v, resid_v,
+                   None, None, flags)
+    y, d = _modconv_fwd_impl(x.value, w.value, styles.value, noise_v, bias_v,
+                             gain, alpha, demodulate, packed_io,
+                             resid=resid_v)
     res = (x.value, w.value, styles.value, noise_v, bias_v, resid_v, y, d,
            flags)
     return y, res
 
 
 def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
+    from morphganformer_tpu.ops.second_order import packed_second_order
+    if packed_second_order():
+        from morphganformer_tpu.ops import second_order as so
+        x, w, styles, noise, bias, resid, _y, _d, _flags = res
+        return so.modconv_bwd_so(x, w, styles, noise, bias, resid, g,
+                                 gain, alpha, demodulate, packed_io)
+    return _modconv_bwd_impl(gain, alpha, demodulate, packed_io, res, g)
+
+
+def _modconv_bwd_impl(gain, alpha, demodulate, packed_io, res, g):
     x, w, styles, noise, bias, resid, y, d, flags = res
     w_p, noise_p, bias_p, styles_p, x_p, resid_p = [
         f is not None for f in flags]
@@ -1722,20 +1744,39 @@ def _packed_upconv_fwd(x, w, styles, f, noise, bias, gain, alpha,
     styles_v = None if styles is None else styles.value
     noise_v = None if noise is None else noise.value
     bias_v = None if bias is None else bias.value
-    y, d, kpix = _packed_upconv_fwd_impl(
-        x.value, w.value, styles_v, f.value, noise_v, bias_v, gain, alpha,
-        demodulate, flip_weight)
     flags = (_tok(w.perturbed),
              _tok(noise is not None and noise.perturbed),
              _tok(bias is not None and bias.perturbed),
              _tok(styles is not None and styles.perturbed),
              _tok(x.perturbed))
+    from morphganformer_tpu.ops.second_order import packed_second_order
+    if packed_second_order():
+        # Second-order route — see _modconv_fwd.
+        from morphganformer_tpu.ops import second_order as so
+        y = so.upconv_apply_so(x.value, w.value, styles_v, f.value, noise_v,
+                               bias_v, gain, alpha, demodulate, flip_weight)
+        return y, (x.value, w.value, styles_v, f.value, noise_v, bias_v,
+                   None, None, None, flags)
+    y, d, kpix = _packed_upconv_fwd_impl(
+        x.value, w.value, styles_v, f.value, noise_v, bias_v, gain, alpha,
+        demodulate, flip_weight)
     res = (x.value, w.value, styles_v, f.value, noise_v, bias_v, y, d,
            kpix, flags)
     return y, res
 
 
 def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
+    from morphganformer_tpu.ops.second_order import packed_second_order
+    if packed_second_order():
+        from morphganformer_tpu.ops import second_order as so
+        x, w, styles, f, noise, bias, _y, _d, _kpix, _flags = res
+        return so.upconv_bwd_so(x, w, styles, f, noise, bias, g,
+                                gain, alpha, demodulate, flip_weight)
+    return _packed_upconv_bwd_impl(gain, alpha, demodulate, flip_weight,
+                                   res, g)
+
+
+def _packed_upconv_bwd_impl(gain, alpha, demodulate, flip_weight, res, g):
     x, w, styles, f, noise, bias, y, d, kpix, flags = res
     w_p, noise_p, bias_p, styles_p, x_p = [fl is not None for fl in flags]
     n, h_in, wg, lanes = x.shape
@@ -2098,15 +2139,33 @@ def _dconv_fwd(x, w, f, bias, resid, gain, alpha, flip_weight):
     bias_v = None if bias is None else bias.value
     resid_v = None if resid is None else resid.value
     f_v = None if f is None else f.value
-    y, K, q0 = _dconv_fwd_impl(x.value, w.value, f_v, bias_v, gain,
-                               alpha, flip_weight, resid_v)
     flags = (_tok(x.perturbed), _tok(w.perturbed),
              _tok(bias is not None and bias.perturbed),
              _tok(resid is not None and resid.perturbed))
+    from morphganformer_tpu.ops.second_order import packed_second_order
+    if packed_second_order():
+        # Second-order route — see _modconv_fwd.
+        from morphganformer_tpu.ops import second_order as so
+        y = so.dconv_apply_so(x.value, w.value, f_v, bias_v, resid_v,
+                              gain, alpha, flip_weight)
+        return y, (x.value, w.value, f_v, bias_v, resid_v,
+                   None, None, None, flags)
+    y, K, q0 = _dconv_fwd_impl(x.value, w.value, f_v, bias_v, gain,
+                               alpha, flip_weight, resid_v)
     return y, (x.value, w.value, f_v, bias_v, resid_v, y, K, q0, flags)
 
 
 def _dconv_bwd(gain, alpha, flip_weight, res, g):
+    from morphganformer_tpu.ops.second_order import packed_second_order
+    if packed_second_order():
+        from morphganformer_tpu.ops import second_order as so
+        x, w, f, bias, resid, _y, _K, _q0, _flags = res
+        return so.dconv_bwd_so(x, w, f, bias, resid, g,
+                               gain, alpha, flip_weight)
+    return _dconv_bwd_impl(gain, alpha, flip_weight, res, g)
+
+
+def _dconv_bwd_impl(gain, alpha, flip_weight, res, g):
     x, w, f, bias, resid, y, K, q0, flags = res
     x_p, w_p, bias_p, resid_p = [fl is not None for fl in flags]
     n, h, wg, lanes = x.shape

@@ -1,0 +1,348 @@
+"""Gated second-order (grad-of-grad) support for the packed pallas ops.
+
+The PL and R1 regularizers are reverse-over-reverse: an outer
+`jax.value_and_grad` over a loss that itself contains `jax.grad` through
+the network (reference training/loss.py:92-107, :149-159). The packed
+pallas ops' custom VJPs are first-order constructs: under the OUTER
+differentiation the inner-grad trace is re-linearized as plain code, and
+any bare `pallas_call` in it (the fused forward launch in f_fwd, the
+adjoint launches in f_bwd) has no JVP rule — which is why
+training/loss.py traces those stages under
+`packed_override.force_unpacked()` today.
+
+Fix (semantics verified on CPU with a pure_callback stand-in for
+pallas_call): reverse-over-reverse composes through custom_vjp chains as
+long as EVERY non-differentiable launch in the consumed trace is itself
+custom_vjp-protected. With MGT_PACKED_SECOND_ORDER=1 each packed op
+routes its symbolic-zeros f_fwd/f_bwd through two protected wrappers:
+
+  * an apply-op whose primal is the fused packed forward launch and
+    whose custom bwd is `jax.vjp` of the unpacked XLA reference
+    composition (the executable spec the parity tests pin against);
+  * a bwd-op whose primal is the existing fused packed backward (the
+    adjoint launches with their in-kernel ds/dd/dw taps, run with
+    all-perturbed flags) and whose custom bwd — the second-order term —
+    is `jax.vjp` of the reference cotangent function.
+
+First-order primals therefore stay on the packed kernels in BOTH the
+inner and the outer trace; only the second-order linearization legs ride
+the unpacked XLA composition, and those run once per
+g_reg_interval/d_reg_interval (lazy regularization). Default OFF: with
+the gate unset none of this module is reachable and the production
+traces are byte-identical (training/loss.py keeps force_unpacked).
+
+On-chip motivation (tools/profile_train.py --stages, 1024^2 batch 4
+bf16): G_reg 512.4 ms and D_reg 501.7 ms under force_unpacked vs
+G_main 136.0 / D_main 146.4 ms packed — the reg stages are ~34% of the
+amortized training step.
+
+Reference anchor: training/loss.py:92-107 (pl_grads via
+torch.autograd.grad(create_graph=True)), :149-159 (r1_grads).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def packed_second_order() -> bool:
+    """Trace-time gate: route the packed ops' custom VJPs through the
+    second-order-capable wrappers (MGT_PACKED_SECOND_ORDER=1)."""
+    return os.environ.get("MGT_PACKED_SECOND_ORDER", "0") == "1"
+
+
+def _lrelu(y, gain, alpha):
+    return jnp.where(y >= 0, y, alpha * y) * jnp.asarray(gain, y.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Unpacked XLA reference compositions (the same executable spec the
+# op parity tests pin against — tests/test_pallas_conv.py::_modconv_ref,
+# tests/test_packed_dw.py::ref). Pack/unpack are pure reshapes, so these
+# are exact up to float re-association.
+# ---------------------------------------------------------------------------
+
+
+def modconv_ref(x, w, styles, noise, bias, resid, gain, alpha, demodulate,
+                packed_io):
+    """Pixel-space reference of fused_modconv3x3_lrelu."""
+    from morphganformer_tpu.ops.pallas_conv import _modconv_geometry
+
+    n, h, width, wg, pack, c, o = _modconv_geometry(x, w, packed_io)
+    xp = (x.reshape(n, h, wg, pack, c).reshape(n, h, width, c)
+          if packed_io else x)
+    xs = xp * styles[:, None, None, :].astype(xp.dtype)
+    y = jax.lax.conv_general_dilated(
+        xs, w.astype(xp.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if demodulate:
+        wsq = jnp.sum(jnp.square(w.astype(jnp.float32)), axis=(0, 1))
+        d = jax.lax.rsqrt(
+            jnp.square(styles.astype(jnp.float32)) @ wsq + 1e-8)
+        y = y * d[:, None, None, :].astype(y.dtype)
+    if noise is not None:
+        nz = noise[..., None] if noise.ndim == 3 else noise[None, :, :, None]
+        y = y + nz.astype(y.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    y = _lrelu(y, gain, alpha)
+    if packed_io:
+        y = y.reshape(n, h, wg, pack * o)
+    if resid is not None:
+        y = y + resid.astype(y.dtype)
+    return y
+
+
+def upconv_ref(x, w, styles, f, noise, bias, gain, alpha, demodulate,
+               flip_weight):
+    """Pixel-space reference of fused_packed_upconv2 (x packed in/out)."""
+    from morphganformer_tpu.ops.conv2d_resample import conv2d_resample
+    from morphganformer_tpu.ops.modulated_conv import modulated_conv2d
+
+    n, h, G, lanes = x.shape
+    kh, _, cin, cout = w.shape
+    P = lanes // cin
+    Q = 2 * P
+    x_px = x.reshape(n, h, G, P, cin).reshape(n, h, G * P, cin)
+    if styles is None:
+        y = conv2d_resample(x_px, w.astype(x_px.dtype), f=f, up=2,
+                            padding=kh // 2, flip_weight=flip_weight)
+    else:
+        y = modulated_conv2d(x_px, w, styles=styles, up=2, padding=kh // 2,
+                             resample_kernel=f, demodulate=demodulate,
+                             flip_weight=flip_weight)
+    if noise is not None:
+        nz = noise[..., None] if noise.ndim == 3 else noise[None, ..., None]
+        y = y + nz.astype(y.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    y = _lrelu(y, gain, alpha)
+    return y.reshape(n, 2 * h, G, Q, cout).reshape(n, 2 * h, G, Q * cout)
+
+
+def dconv_ref(x, w, f, bias, resid, gain, alpha, flip_weight):
+    """Pixel-space reference of fused_packed_dconv2 (x packed in/out)."""
+    from morphganformer_tpu.ops.conv2d_resample import conv2d_resample
+
+    n, h, wg, lanes = x.shape
+    kh, _, cin, cout = w.shape
+    Q = lanes // cin
+    P = Q // 2
+    x_px = x.reshape(n, h, wg, Q, cin).reshape(n, h, wg * Q, cin)
+    y = conv2d_resample(x_px, w.astype(x_px.dtype), f=f, down=2,
+                        padding=kh // 2, flip_weight=flip_weight)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    y = _lrelu(y, gain, alpha)
+    y = y.reshape(n, h // 2, wg, P, cout).reshape(n, h // 2, wg, P * cout)
+    if resid is not None:
+        y = y + resid.astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Protected wrappers. Pattern per op:
+#   <op>_apply_so  — primal: fused packed forward launch;
+#                    custom bwd: jax.vjp of the reference composition.
+#   <op>_bwd_so    — primal: the existing fused packed backward with
+#                    all-perturbed flags (adjoint launches + in-kernel
+#                    taps); custom bwd: jax.vjp of the reference
+#                    cotangent function (vjp-of-vjp, pure XLA).
+# The primal outputs are the production values; the custom bwd rules are
+# only consumed by the OUTER differentiation of the reg stages.
+# ---------------------------------------------------------------------------
+
+
+def _all_tok(pc, *present):
+    """Flag tuple with every PRESENT input marked perturbed."""
+    return tuple(pc._tok(p) for p in present)
+
+
+# ---- fused_modconv3x3_lrelu ----------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def modconv_apply_so(x, w, styles, noise, bias, resid, gain, alpha,
+                     demodulate, packed_io):
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    y, _ = pc._modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha,
+                                demodulate, packed_io, resid=resid)
+    return y
+
+
+def _modconv_apply_so_fwd(x, w, styles, noise, bias, resid, gain, alpha,
+                          demodulate, packed_io):
+    y = modconv_apply_so(x, w, styles, noise, bias, resid, gain, alpha,
+                         demodulate, packed_io)
+    return y, (x, w, styles, noise, bias, resid)
+
+
+def _modconv_apply_so_bwd(gain, alpha, demodulate, packed_io, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: modconv_ref(*a, gain, alpha, demodulate, packed_io), *res)
+    return vjp(g)
+
+
+modconv_apply_so.defvjp(_modconv_apply_so_fwd, _modconv_apply_so_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def modconv_bwd_so(x, w, styles, noise, bias, resid, g, gain, alpha,
+                   demodulate, packed_io):
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    y, d = pc._modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha,
+                                demodulate, packed_io, resid=resid)
+    # Flag order of _modconv_fwd: (w, noise, bias, styles, x, resid).
+    flags = _all_tok(pc, True, noise is not None, bias is not None, True,
+                     True, resid is not None)
+    res = (x, w, styles, noise, bias, resid, y, d, flags)
+    return pc._modconv_bwd_impl(gain, alpha, demodulate, packed_io, res, g)
+
+
+def _modconv_bwd_so_fwd(x, w, styles, noise, bias, resid, g, gain, alpha,
+                        demodulate, packed_io):
+    outs = modconv_bwd_so(x, w, styles, noise, bias, resid, g, gain, alpha,
+                          demodulate, packed_io)
+    return outs, (x, w, styles, noise, bias, resid, g)
+
+
+def _modconv_bwd_so_bwd(gain, alpha, demodulate, packed_io, res, cts):
+    def cot_ref(x, w, styles, noise, bias, resid, g):
+        _, vjp = jax.vjp(
+            lambda *a: modconv_ref(*a, gain, alpha, demodulate, packed_io),
+            x, w, styles, noise, bias, resid)
+        return vjp(g)
+
+    _, vjp2 = jax.vjp(cot_ref, *res)
+    return vjp2(cts)
+
+
+modconv_bwd_so.defvjp(_modconv_bwd_so_fwd, _modconv_bwd_so_bwd)
+
+
+# ---- fused_packed_upconv2 --------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def upconv_apply_so(x, w, styles, f, noise, bias, gain, alpha, demodulate,
+                    flip_weight):
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    y, _, _ = pc._packed_upconv_fwd_impl(x, w, styles, f, noise, bias, gain,
+                                         alpha, demodulate, flip_weight)
+    return y
+
+
+def _upconv_apply_so_fwd(x, w, styles, f, noise, bias, gain, alpha,
+                         demodulate, flip_weight):
+    y = upconv_apply_so(x, w, styles, f, noise, bias, gain, alpha,
+                        demodulate, flip_weight)
+    return y, (x, w, styles, f, noise, bias)
+
+
+def _upconv_apply_so_bwd(gain, alpha, demodulate, flip_weight, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: upconv_ref(*a, gain, alpha, demodulate, flip_weight), *res)
+    return vjp(g)
+
+
+upconv_apply_so.defvjp(_upconv_apply_so_fwd, _upconv_apply_so_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def upconv_bwd_so(x, w, styles, f, noise, bias, g, gain, alpha, demodulate,
+                  flip_weight):
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    y, d, kpix = pc._packed_upconv_fwd_impl(x, w, styles, f, noise, bias,
+                                            gain, alpha, demodulate,
+                                            flip_weight)
+    # Flag order of _packed_upconv_fwd: (w, noise, bias, styles, x).
+    flags = _all_tok(pc, True, noise is not None, bias is not None,
+                     styles is not None, True)
+    res = (x, w, styles, f, noise, bias, y, d, kpix, flags)
+    return pc._packed_upconv_bwd_impl(gain, alpha, demodulate,
+                                      flip_weight, res, g)
+
+
+def _upconv_bwd_so_fwd(x, w, styles, f, noise, bias, g, gain, alpha,
+                       demodulate, flip_weight):
+    outs = upconv_bwd_so(x, w, styles, f, noise, bias, g, gain, alpha,
+                         demodulate, flip_weight)
+    return outs, (x, w, styles, f, noise, bias, g)
+
+
+def _upconv_bwd_so_bwd(gain, alpha, demodulate, flip_weight, res, cts):
+    def cot_ref(x, w, styles, f, noise, bias, g):
+        _, vjp = jax.vjp(
+            lambda *a: upconv_ref(*a, gain, alpha, demodulate, flip_weight),
+            x, w, styles, f, noise, bias)
+        return vjp(g)
+
+    _, vjp2 = jax.vjp(cot_ref, *res)
+    return vjp2(cts)
+
+
+upconv_bwd_so.defvjp(_upconv_bwd_so_fwd, _upconv_bwd_so_bwd)
+
+
+# ---- fused_packed_dconv2 ---------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def dconv_apply_so(x, w, f, bias, resid, gain, alpha, flip_weight):
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    y, _, _ = pc._dconv_fwd_impl(x, w, f, bias, gain, alpha, flip_weight,
+                                 resid)
+    return y
+
+
+def _dconv_apply_so_fwd(x, w, f, bias, resid, gain, alpha, flip_weight):
+    y = dconv_apply_so(x, w, f, bias, resid, gain, alpha, flip_weight)
+    return y, (x, w, f, bias, resid)
+
+
+def _dconv_apply_so_bwd(gain, alpha, flip_weight, res, g):
+    _, vjp = jax.vjp(lambda *a: dconv_ref(*a, gain, alpha, flip_weight),
+                     *res)
+    return vjp(g)
+
+
+dconv_apply_so.defvjp(_dconv_apply_so_fwd, _dconv_apply_so_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def dconv_bwd_so(x, w, f, bias, resid, g, gain, alpha, flip_weight):
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    y, K, q0 = pc._dconv_fwd_impl(x, w, f, bias, gain, alpha, flip_weight,
+                                  resid)
+    # Flag order of _dconv_fwd: (x, w, bias, resid).
+    flags = _all_tok(pc, True, True, bias is not None, resid is not None)
+    res = (x, w, f, bias, resid, y, K, q0, flags)
+    return pc._dconv_bwd_impl(gain, alpha, flip_weight, res, g)
+
+
+def _dconv_bwd_so_fwd(x, w, f, bias, resid, g, gain, alpha, flip_weight):
+    outs = dconv_bwd_so(x, w, f, bias, resid, g, gain, alpha, flip_weight)
+    return outs, (x, w, f, bias, resid, g)
+
+
+def _dconv_bwd_so_bwd(gain, alpha, flip_weight, res, cts):
+    def cot_ref(x, w, f, bias, resid, g):
+        _, vjp = jax.vjp(lambda *a: dconv_ref(*a, gain, alpha, flip_weight),
+                         x, w, f, bias, resid)
+        return vjp(g)
+
+    _, vjp2 = jax.vjp(cot_ref, *res)
+    return vjp2(cts)
+
+
+dconv_bwd_so.defvjp(_dconv_bwd_so_fwd, _dconv_bwd_so_bwd)

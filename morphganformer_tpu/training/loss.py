@@ -130,11 +130,17 @@ def g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
     """Path-length regularization (reference loss.py:92-107).
     Returns (scalar, aux incl. new pl_mean).
 
-    Traces with the packed pallas paths disabled: PL is a grad-of-grad
-    through synthesis and the packed kernels' custom VJPs are only
-    first-order differentiable. The stage runs at 1/g_reg_interval
-    frequency (lazy regularization), so the unpacked cost is amortized."""
+    Traces with the packed pallas paths disabled by default: PL is a
+    grad-of-grad through synthesis and the packed kernels' custom VJPs
+    are first-order constructs. The stage runs at 1/g_reg_interval
+    frequency (lazy regularization), so the unpacked cost is amortized.
+    With MGT_PACKED_SECOND_ORDER=1 the packed ops route through
+    second-order-capable wrappers instead (ops/second_order.py) and the
+    stage keeps the packed kernels for every first-order primal."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
+    from morphganformer_tpu.ops.second_order import packed_second_order
+    if packed_second_order():
+        return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
     with force_unpacked():
         return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
 
@@ -187,9 +193,14 @@ def d_main_loss(model, d_model, g_vars, d_vars, real_img, z, c, rng,
 def d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
     """R1 gradient penalty (reference loss.py:149-159).
 
-    Traces with the packed pallas paths disabled (grad-of-grad through D;
-    see g_pl_loss). Runs at 1/d_reg_interval frequency."""
+    Traces with the packed pallas paths disabled by default
+    (grad-of-grad through D; see g_pl_loss), or through the
+    second-order-capable packed wrappers with MGT_PACKED_SECOND_ORDER=1.
+    Runs at 1/d_reg_interval frequency."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
+    from morphganformer_tpu.ops.second_order import packed_second_order
+    if packed_second_order():
+        return _d_r1_loss(d_model, d_vars, real_img, c, cfg)
     with force_unpacked():
         return _d_r1_loss(d_model, d_vars, real_img, c, cfg)
 
