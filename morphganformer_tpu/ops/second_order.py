@@ -42,17 +42,70 @@ torch.autograd.grad(create_graph=True)), :149-159 (r1_grads).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
 import jax
 import jax.numpy as jnp
 
+_SCOPE_ACTIVE = False
+
 
 def packed_second_order() -> bool:
     """Trace-time gate: route the packed ops' custom VJPs through the
-    second-order-capable wrappers (MGT_PACKED_SECOND_ORDER=1)."""
-    return os.environ.get("MGT_PACKED_SECOND_ORDER", "0") == "1"
+    second-order-capable wrappers.
+
+    True inside `second_order_scope()` (the reg stages' per-stage route)
+    or globally with MGT_PACKED_SECOND_ORDER=1 (profiling A/B: note the
+    global form also routes the first-order main stages through the
+    wrappers, whose backward re-runs the forward launch instead of using
+    saved residuals — measurable overhead there)."""
+    return _SCOPE_ACTIVE or os.environ.get(
+        "MGT_PACKED_SECOND_ORDER", "0") == "1"
+
+
+# Default for the reg stages when MGT_PACKED_SECOND_ORDER is unset.
+# Stays False: the on-chip re-measure (round 3, tools/profile_train.py
+# --second-order at 1024^2 batch 4 bf16) shows the scoped route does
+# not even COMPILE at the production config — XLA:TPU OOMs HBM at
+# 18.52G/15.75G, dominated by two 8 GB padded bf16[64,1024,1024,32]
+# grad-of-grad temps (2.0x T(8,128) padding on the 32-lane tail).
+# The recompute-based wrappers materialize full-res second-order
+# residuals that the force_unpacked XLA trace remats away. Flipping
+# this needs remat policies (or lane-padded layouts) on the wrapper
+# recompute path first; until then force_unpacked stays production.
+_DEFAULT_REG_SECOND_ORDER = False
+
+
+def reg_stage_second_order() -> bool:
+    """Policy for training/loss.py's PL/R1 stages: trace inside
+    second_order_scope() (packed kernels on every first-order primal)
+    vs packed_override.force_unpacked() (pure-XLA trace).
+
+    Tri-state via MGT_PACKED_SECOND_ORDER: "1" -> scoped (the global
+    env form in packed_second_order() then also covers main stages —
+    intended only for profiling A/Bs); "0" -> unpacked fallback (kill
+    switch); unset -> _DEFAULT_REG_SECOND_ORDER."""
+    v = os.environ.get("MGT_PACKED_SECOND_ORDER")
+    if v is None:
+        return _DEFAULT_REG_SECOND_ORDER
+    return v == "1"
+
+
+@contextlib.contextmanager
+def second_order_scope():
+    """Enclose a traced apply so ONLY that trace routes the packed ops
+    through the second-order wrappers (same trace-time-flag pattern as
+    packed_override.force_unpacked). Used by the PL/R1 reg stages so the
+    main stages keep the lean saved-residual backward."""
+    global _SCOPE_ACTIVE
+    prev = _SCOPE_ACTIVE
+    _SCOPE_ACTIVE = True
+    try:
+        yield
+    finally:
+        _SCOPE_ACTIVE = prev
 
 
 def _lrelu(y, gain, alpha):

@@ -134,13 +134,17 @@ def g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
     grad-of-grad through synthesis and the packed kernels' custom VJPs
     are first-order constructs. The stage runs at 1/g_reg_interval
     frequency (lazy regularization), so the unpacked cost is amortized.
-    With MGT_PACKED_SECOND_ORDER=1 the packed ops route through
-    second-order-capable wrappers instead (ops/second_order.py) and the
-    stage keeps the packed kernels for every first-order primal."""
+    With MGT_PACKED_SECOND_ORDER=1 (or the scoped default, see
+    ops/second_order.py::reg_stage_second_order) the packed ops route
+    through second-order-capable wrappers instead (ops/second_order.py)
+    and the stage keeps the packed kernels for every first-order
+    primal."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
-    from morphganformer_tpu.ops.second_order import packed_second_order
-    if packed_second_order():
-        return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
+    from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
+                                                     second_order_scope)
+    if reg_stage_second_order():
+        with second_order_scope():
+            return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
     with force_unpacked():
         return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
 
@@ -195,12 +199,15 @@ def d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
 
     Traces with the packed pallas paths disabled by default
     (grad-of-grad through D; see g_pl_loss), or through the
-    second-order-capable packed wrappers with MGT_PACKED_SECOND_ORDER=1.
+    second-order-capable packed wrappers when
+    ops/second_order.py::reg_stage_second_order says so.
     Runs at 1/d_reg_interval frequency."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
-    from morphganformer_tpu.ops.second_order import packed_second_order
-    if packed_second_order():
-        return _d_r1_loss(d_model, d_vars, real_img, c, cfg)
+    from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
+                                                     second_order_scope)
+    if reg_stage_second_order():
+        with second_order_scope():
+            return _d_r1_loss(d_model, d_vars, real_img, c, cfg)
     with force_unpacked():
         return _d_r1_loss(d_model, d_vars, real_img, c, cfg)
 

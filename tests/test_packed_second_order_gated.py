@@ -141,6 +141,48 @@ def test_dconv_second_order_matches_ref(so_gate):
     _check_second_order(packed, ref, x, (w,), seed=8)
 
 
+def test_scope_routes_without_env(monkeypatch):
+    """second_order_scope() routes the packed VJPs per-trace with the
+    env unset — the shape training/loss.py's reg stages use so the
+    first-order main stages keep the lean saved-residual backward."""
+    monkeypatch.delenv("MGT_PACKED_SECOND_ORDER", raising=False)
+    from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
+                                                     second_order_scope)
+    assert not packed_second_order()
+    assert not reg_stage_second_order()  # default policy: off for now
+
+    n, h, wdt, c, o = 1, 8, 16, 8, 8
+    x = _rand(0, (n, h, wdt, c))
+    w = _rand(1, (3, 3, c, o), 0.3)
+    s = _rand(2, (n, c), 0.5) + 1.0
+
+    packed = lambda xx, ww, ss: fused_modconv3x3_lrelu(
+        xx, ww, ss, None, None, None, 1.4, 0.2, True, False)
+    ref = lambda xx, ww, ss: modconv_ref(
+        xx, ww, ss, None, None, None, 1.4, 0.2, True, False)
+
+    with second_order_scope():
+        assert packed_second_order()
+        _check_second_order(packed, ref, x, (w, s), seed=9)
+    assert not packed_second_order()
+
+    # Outside the scope the packed op is first-order-only again.
+    t = _rand(9, jax.eval_shape(lambda: ref(x, w, s)).shape)
+    with pytest.raises(Exception):
+        jax.grad(lambda ww: jnp.sum(jnp.square(
+            jax.grad(lambda xx: jnp.sum(packed(xx, ww, s) * t))(x))))(w)
+
+
+def test_reg_stage_policy_tristate(monkeypatch):
+    from morphganformer_tpu.ops import second_order as so
+    monkeypatch.setenv("MGT_PACKED_SECOND_ORDER", "1")
+    assert so.reg_stage_second_order()
+    monkeypatch.setenv("MGT_PACKED_SECOND_ORDER", "0")
+    assert not so.reg_stage_second_order()
+    monkeypatch.delenv("MGT_PACKED_SECOND_ORDER")
+    assert so.reg_stage_second_order() == so._DEFAULT_REG_SECOND_ORDER
+
+
 def test_gate_on_first_order_unchanged(so_gate):
     """The routed path must leave FIRST-order values/grads identical to
     the ungated packed path (same launches, same numbers)."""
