@@ -65,31 +65,34 @@ def packed_second_order() -> bool:
         "MGT_PACKED_SECOND_ORDER", "0") == "1"
 
 
-# Default for the reg stages when MGT_PACKED_SECOND_ORDER is unset.
-# Stays False: the on-chip re-measure (round 3, tools/profile_train.py
-# --second-order at 1024^2 batch 4 bf16) shows the scoped route does
-# not even COMPILE at the production config — XLA:TPU OOMs HBM at
-# 18.52G/15.75G, dominated by two 8 GB padded bf16[64,1024,1024,32]
-# grad-of-grad temps (2.0x T(8,128) padding on the 32-lane tail).
-# The recompute-based wrappers materialize full-res second-order
-# residuals that the force_unpacked XLA trace remats away. Flipping
-# this needs remat policies (or lane-padded layouts) on the wrapper
-# recompute path first; until then force_unpacked stays production.
-_DEFAULT_REG_SECOND_ORDER = False
+# Per-stage defaults when MGT_PACKED_SECOND_ORDER is unset, set by the
+# on-chip production-config measure (round 3, tools/profile_train.py
+# --second-order --stages, 1024^2 batch 4 bf16), which became possible
+# once the wrapper refs were spelled in tap form (see the tap-form
+# comment below; the conv-form refs OOMed HBM at 18.52G/15.75G on two
+# 8 GB grad-of-grad temps, and after the k=3 fix the k=1 skip ref OOMed
+# the same way at 19.70G):
+#   * PL (G_reg):  512.4 ms force_unpacked -> 360.0 ms scoped (1.42x)
+#     — ON by default.
+#   * R1 (D_reg):  501.7 ms force_unpacked -> 5969 ms scoped (11.9x
+#     SLOWER: the D tower's strided-window dconv tap refs lower to
+#     copy-heavy gathers under reverse-over-reverse) — OFF by default.
+_DEFAULT_REG_SECOND_ORDER = {"pl": True, "r1": False}
 
 
-def reg_stage_second_order() -> bool:
+def reg_stage_second_order(stage: str = "pl") -> bool:
     """Policy for training/loss.py's PL/R1 stages: trace inside
     second_order_scope() (packed kernels on every first-order primal)
     vs packed_override.force_unpacked() (pure-XLA trace).
 
-    Tri-state via MGT_PACKED_SECOND_ORDER: "1" -> scoped (the global
+    `stage` is "pl" (G_reg) or "r1" (D_reg). Tri-state via
+    MGT_PACKED_SECOND_ORDER: "1" -> scoped for BOTH stages (the global
     env form in packed_second_order() then also covers main stages —
-    intended only for profiling A/Bs); "0" -> unpacked fallback (kill
-    switch); unset -> _DEFAULT_REG_SECOND_ORDER."""
+    intended only for profiling A/Bs); "0" -> unpacked fallback for
+    both (kill switch); unset -> _DEFAULT_REG_SECOND_ORDER[stage]."""
     v = os.environ.get("MGT_PACKED_SECOND_ORDER")
     if v is None:
-        return _DEFAULT_REG_SECOND_ORDER
+        return _DEFAULT_REG_SECOND_ORDER[stage]
     return v == "1"
 
 
@@ -117,7 +120,82 @@ def _lrelu(y, gain, alpha):
 # op parity tests pin against — tests/test_pallas_conv.py::_modconv_ref,
 # tests/test_packed_dw.py::ref). Pack/unpack are pure reshapes, so these
 # are exact up to float re-association.
+#
+# The convolutions are spelled as per-tap einsums rather than
+# lax.conv_general_dilated: under the reg stages' grad-of-grad, XLA:TPU
+# lowers the conv adjoints-of-adjoints through kLoop fusions that
+# materialize [Cin, H, W, Cout] outer-product temps (two 8 GB
+# bf16[64,1024,1024,32] buffers at the 1024^2 batch-4 production config
+# — the round-3 OOM). Each tap einsum is a plain [N*H*W, Cin] x
+# [Cin, Cout] matmul whose second-order transposes stay matmuls, so
+# every temp is activation-sized. Mathematically identical to the conv
+# form up to float re-association (parity-pinned by the gated tests).
 # ---------------------------------------------------------------------------
+
+
+def _taps_conv3x3(x, w):
+    """3x3 same-padding correlation as 9 shifted matmuls.
+    x: [N,H,W,Ci]; w: [3,3,Ci,Co] (already in x.dtype)."""
+    n, h, width, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = None
+    for i in range(3):
+        for j in range(3):
+            t = jnp.einsum("nhwc,co->nhwo", xp[:, i:i + h, j:j + width, :],
+                           w[i, j])
+            y = t if y is None else y + t
+    return y
+
+
+def _taps_upconv2_polyphase(x, k, p0):
+    """2x-up conv with composed LxL kernel k and left pad p0 as 4 phase
+    tap stacks + depth-to-space — the tap form of the base-dilated conv
+    in conv2d_resample (output o=2n+r reads x[n + (r+t-p0)/2] for taps
+    t of parity (p0+r) mod 2). Handles the synthesis hot path (k=3 +
+    4-tap FIR: L=6, p0=3) and the 1x1 skip (L=4, p0=2). x: [N,H,W,Ci];
+    k: [L,L,Ci,Co] in x.dtype; returns [N,2H,2W,Co]."""
+    n, h, width, _ = x.shape
+    L = int(k.shape[0])
+    co = k.shape[-1]
+
+    def taps(r):
+        return [(t, (r + t - p0) // 2) for t in range((p0 + r) % 2, L, 2)]
+
+    offs = [o for r in (0, 1) for _, o in taps(r)]
+    plo, phi = -min(offs), max(offs)
+    xp = jnp.pad(x, ((0, 0), (plo, phi), (plo, phi), (0, 0)))
+    phases = []
+    for ry in (0, 1):
+        for rx in (0, 1):
+            acc = None
+            for ty, oy in taps(ry):
+                for tx, ox in taps(rx):
+                    win = xp[:, plo + oy:plo + oy + h,
+                             plo + ox:plo + ox + width, :]
+                    t = jnp.einsum("nhwc,co->nhwo", win, k[ty, tx])
+                    acc = t if acc is None else acc + t
+            phases.append(acc)
+    y = jnp.stack(phases, axis=3)                      # [N,H,W,4,Co]
+    y = y.reshape(n, h, width, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * width, co)
+
+
+def _taps_dconv2(x, k, q0):
+    """Stride-2 correlation with composed LxL kernel k and left pad q0
+    (conv2d_resample down-branch semantics) as LxL strided-window
+    matmuls. x: [N,H,W,Ci]; k: [L,L,Ci,Co] in x.dtype."""
+    n, h, width, _ = x.shape
+    L = int(k.shape[0])
+    ho, wo = h // 2, width // 2
+    pr = 2 * (ho - 1) + L - h - q0
+    xp = jnp.pad(x, ((0, 0), (q0, max(pr, 0)), (q0, max(pr, 0)), (0, 0)))
+    y = None
+    for i in range(L):
+        for j in range(L):
+            win = xp[:, i:i + 2 * (ho - 1) + 1:2, j:j + 2 * (wo - 1) + 1:2, :]
+            t = jnp.einsum("nhwc,co->nhwo", win, k[i, j])
+            y = t if y is None else y + t
+    return y
 
 
 def modconv_ref(x, w, styles, noise, bias, resid, gain, alpha, demodulate,
@@ -129,9 +207,7 @@ def modconv_ref(x, w, styles, noise, bias, resid, gain, alpha, demodulate,
     xp = (x.reshape(n, h, wg, pack, c).reshape(n, h, width, c)
           if packed_io else x)
     xs = xp * styles[:, None, None, :].astype(xp.dtype)
-    y = jax.lax.conv_general_dilated(
-        xs, w.astype(xp.dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = _taps_conv3x3(xs, w.astype(xp.dtype))
     if demodulate:
         wsq = jnp.sum(jnp.square(w.astype(jnp.float32)), axis=(0, 1))
         d = jax.lax.rsqrt(
@@ -153,21 +229,36 @@ def modconv_ref(x, w, styles, noise, bias, resid, gain, alpha, demodulate,
 def upconv_ref(x, w, styles, f, noise, bias, gain, alpha, demodulate,
                flip_weight):
     """Pixel-space reference of fused_packed_upconv2 (x packed in/out)."""
-    from morphganformer_tpu.ops.conv2d_resample import conv2d_resample
-    from morphganformer_tpu.ops.modulated_conv import modulated_conv2d
+    from morphganformer_tpu.ops.conv2d_resample import (_compose_kernel_fir,
+                                                        conv2d_resample)
 
     n, h, G, lanes = x.shape
     kh, _, cin, cout = w.shape
     P = lanes // cin
     Q = 2 * P
     x_px = x.reshape(n, h, G, P, cin).reshape(n, h, G * P, cin)
-    if styles is None:
-        y = conv2d_resample(x_px, w.astype(x_px.dtype), f=f, up=2,
+    xs = (x_px if styles is None
+          else x_px * styles[:, None, None, :].astype(x_px.dtype))
+    if f is not None and kh in (1, 3) and int(f.shape[-1]) == 4:
+        # Tap form of the synthesis hot path (k=3 + 4-tap FIR => 6x6
+        # composed kernel, p0=3) and the 1x1 skip (=> 4x4 kernel, p0=2;
+        # without this the skip's grad-of-grad lowers through conv
+        # weight-grad transposes that materialize [Ci,2H,2W,Co] 8 GB
+        # temps — the round-3 second OOM).
+        kpix = _compose_kernel_fir(w, f, flip_weight, False, gain=4.0)
+        y = _taps_upconv2_polyphase(xs, kpix.astype(xs.dtype),
+                                    p0=kh // 2 + 2)
+    elif styles is None:
+        y = conv2d_resample(xs, w.astype(xs.dtype), f=f, up=2,
                             padding=kh // 2, flip_weight=flip_weight)
     else:
-        y = modulated_conv2d(x_px, w, styles=styles, up=2, padding=kh // 2,
-                             resample_kernel=f, demodulate=demodulate,
-                             flip_weight=flip_weight)
+        y = conv2d_resample(xs, w, f=f, up=2, padding=kh // 2,
+                            flip_weight=flip_weight)
+    if styles is not None and demodulate:
+        wsq = jnp.sum(jnp.square(w.astype(jnp.float32)), axis=(0, 1))
+        d = jax.lax.rsqrt(
+            jnp.square(styles.astype(jnp.float32)) @ wsq + 1e-8)
+        y = y * d[:, None, None, :].astype(y.dtype)
     if noise is not None:
         nz = noise[..., None] if noise.ndim == 3 else noise[None, ..., None]
         y = y + nz.astype(y.dtype)
@@ -179,15 +270,15 @@ def upconv_ref(x, w, styles, f, noise, bias, gain, alpha, demodulate,
 
 def dconv_ref(x, w, f, bias, resid, gain, alpha, flip_weight):
     """Pixel-space reference of fused_packed_dconv2 (x packed in/out)."""
-    from morphganformer_tpu.ops.conv2d_resample import conv2d_resample
+    from morphganformer_tpu.ops.pallas_conv import _dconv_compose
 
     n, h, wg, lanes = x.shape
     kh, _, cin, cout = w.shape
     Q = lanes // cin
     P = Q // 2
     x_px = x.reshape(n, h, wg, Q, cin).reshape(n, h, wg * Q, cin)
-    y = conv2d_resample(x_px, w.astype(x_px.dtype), f=f, down=2,
-                        padding=kh // 2, flip_weight=flip_weight)
+    K, q0 = _dconv_compose(w, f, flip_weight)
+    y = _taps_dconv2(x_px, K.astype(x_px.dtype), q0)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     y = _lrelu(y, gain, alpha)

@@ -130,19 +130,19 @@ def g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
     """Path-length regularization (reference loss.py:92-107).
     Returns (scalar, aux incl. new pl_mean).
 
-    Traces with the packed pallas paths disabled by default: PL is a
-    grad-of-grad through synthesis and the packed kernels' custom VJPs
-    are first-order constructs. The stage runs at 1/g_reg_interval
-    frequency (lazy regularization), so the unpacked cost is amortized.
-    With MGT_PACKED_SECOND_ORDER=1 (or the scoped default, see
-    ops/second_order.py::reg_stage_second_order) the packed ops route
-    through second-order-capable wrappers instead (ops/second_order.py)
-    and the stage keeps the packed kernels for every first-order
-    primal."""
+    PL is a grad-of-grad through synthesis and the packed kernels'
+    custom VJPs are first-order constructs, so by default this stage
+    traces inside second_order_scope(): the packed ops route through
+    second-order-capable wrappers (ops/second_order.py) and every
+    first-order primal stays on the packed kernels — 512.4 -> 360.0 ms
+    on-chip at 1024^2 batch 4. MGT_PACKED_SECOND_ORDER=0 falls back to
+    the pure-XLA force_unpacked trace (the pre-round-3 behavior); the
+    stage runs at 1/g_reg_interval frequency (lazy regularization)
+    either way."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
     from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
                                                      second_order_scope)
-    if reg_stage_second_order():
+    if reg_stage_second_order("pl"):
         with second_order_scope():
             return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
     with force_unpacked():
@@ -198,14 +198,16 @@ def d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
     """R1 gradient penalty (reference loss.py:149-159).
 
     Traces with the packed pallas paths disabled by default
-    (grad-of-grad through D; see g_pl_loss), or through the
-    second-order-capable packed wrappers when
-    ops/second_order.py::reg_stage_second_order says so.
+    (grad-of-grad through D): unlike PL, routing R1 through the
+    second-order wrappers measured 11.9x SLOWER on-chip (the D tower's
+    strided-window dconv tap refs lower to copy-heavy gathers under
+    reverse-over-reverse; see ops/second_order.py), so only
+    MGT_PACKED_SECOND_ORDER=1 selects the scoped route here.
     Runs at 1/d_reg_interval frequency."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
     from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
                                                      second_order_scope)
-    if reg_stage_second_order():
+    if reg_stage_second_order("r1"):
         with second_order_scope():
             return _d_r1_loss(d_model, d_vars, real_img, c, cfg)
     with force_unpacked():

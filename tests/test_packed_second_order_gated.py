@@ -74,6 +74,7 @@ def _check_second_order(packed_fn, ref_fn, x, params, seed):
     return g_p
 
 
+@pytest.mark.slow
 def test_modconv_second_order_matches_ref(so_gate):
     n, h, wdt, c, o = 1, 8, 16, 8, 8
     x = _rand(0, (n, h, wdt, c))
@@ -104,6 +105,7 @@ def test_modconv_second_order_packed_io_resid(so_gate):
     _check_second_order(packed, ref, x, (w, s), seed=6)
 
 
+@pytest.mark.slow
 def test_upconv_second_order_matches_ref(so_gate):
     n, h_in, cin, cout = 1, 4, 16, 8
     P = 128 // cin
@@ -123,6 +125,27 @@ def test_upconv_second_order_matches_ref(so_gate):
     _check_second_order(packed, ref, x, (w, s), seed=7)
 
 
+def test_upconv_skip_k1_second_order_matches_ref(so_gate):
+    """The unmodulated 1x1 skip branch (Conv2dLayer packed up=2): k=1 +
+    4-tap FIR => L=4/p0=2 tap path. This config produced the round-3
+    second OOM (its ref previously fell back to conv2d_resample, whose
+    conv weight-grad transposes materialize [Ci,2H,2W,Co] temps)."""
+    n, h_in, cin, cout = 1, 4, 16, 8
+    P = 128 // cin
+    wdt = 16
+    G = wdt // P
+    x = _rand(0, (n, h_in, G, P * cin))
+    w = _rand(1, (1, 1, cin, cout), 0.3)
+    f = setup_filter([1, 3, 3, 1])
+
+    packed = lambda xx, ww: fused_packed_upconv2(
+        xx, ww, None, f, None, None, 0.5, 1.0, False, False)
+    ref = lambda xx, ww: upconv_ref(
+        xx, ww, None, f, None, None, 0.5, 1.0, False, False)
+    _check_second_order(packed, ref, x, (w,), seed=11)
+
+
+@pytest.mark.slow
 def test_dconv_second_order_matches_ref(so_gate):
     n, h, cin = 1, 8, 16
     cout = 2 * cin
@@ -149,7 +172,10 @@ def test_scope_routes_without_env(monkeypatch):
     from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
                                                      second_order_scope)
     assert not packed_second_order()
-    assert not reg_stage_second_order()  # default policy: off for now
+    # Default policy: scoped for PL (1.42x on-chip), unpacked for R1
+    # (tap-ref route measured 11.9x slower there).
+    assert reg_stage_second_order("pl")
+    assert not reg_stage_second_order("r1")
 
     n, h, wdt, c, o = 1, 8, 16, 8, 8
     x = _rand(0, (n, h, wdt, c))
@@ -176,11 +202,14 @@ def test_scope_routes_without_env(monkeypatch):
 def test_reg_stage_policy_tristate(monkeypatch):
     from morphganformer_tpu.ops import second_order as so
     monkeypatch.setenv("MGT_PACKED_SECOND_ORDER", "1")
-    assert so.reg_stage_second_order()
+    assert so.reg_stage_second_order("pl") and so.reg_stage_second_order("r1")
     monkeypatch.setenv("MGT_PACKED_SECOND_ORDER", "0")
-    assert not so.reg_stage_second_order()
+    assert not so.reg_stage_second_order("pl")
+    assert not so.reg_stage_second_order("r1")
     monkeypatch.delenv("MGT_PACKED_SECOND_ORDER")
-    assert so.reg_stage_second_order() == so._DEFAULT_REG_SECOND_ORDER
+    for stage in ("pl", "r1"):
+        assert (so.reg_stage_second_order(stage)
+                == so._DEFAULT_REG_SECOND_ORDER[stage])
 
 
 def test_gate_on_first_order_unchanged(so_gate):

@@ -3,14 +3,17 @@ packed pallas paths active.
 
 The packed kernels carry custom VJPs whose backwards are raw pallas
 launches — only first-order differentiable. Path-length regularization
-(grad-of-grad through G, reference training/loss.py:92-107) and R1
-(grad-of-grad through D, :149-159) therefore trace inside
-`packed_override.force_unpacked()`, falling back to XLA layers. These
-tests force the packed gates on (production structural predicate, CPU
-interpret mode) and assert (a) the unguarded stage really does crash —
-the bug being guarded against — and (b) the shipped g_pl_loss/d_r1_loss
-take gradients cleanly because the override suppresses the packed paths
-at trace time.
+(grad-of-grad through G, reference training/loss.py:92-107) traces
+inside `second_order_scope()` by default (the packed wrappers,
+ops/second_order.py); R1 (grad-of-grad through D, :149-159) traces
+inside `packed_override.force_unpacked()`, falling back to XLA layers
+(the scoped route measured 11.9x slower there on-chip). These tests
+force the packed gates on (production structural predicate, CPU
+interpret mode) and assert (a) with BOTH guards disabled
+(MGT_PACKED_SECOND_ORDER=0 kill switch + a gate that ignores
+packed_paths_disabled) the stage really does crash — the bug being
+guarded against — and (b) the shipped g_pl_loss/d_r1_loss take
+gradients cleanly through their default routes.
 """
 
 import os
@@ -20,6 +23,11 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+
+# Model-level grad-of-grad in interpret mode: 15-80 s per test on the
+# 1-CPU box. The fast default selection keeps the per-op scope/policy
+# coverage in test_packed_second_order_gated.py.
+pytestmark = pytest.mark.slow
 
 import morphganformer_tpu.models.discriminator as disc_mod
 from morphganformer_tpu.models import synthesis as syn_mod
@@ -129,7 +137,12 @@ def _pl_grads(model, variables, z):
     return jax.grad(loss_fn)(variables["params"])
 
 
-def test_pl_crashes_without_override(force_packed_g_no_override):
+def test_pl_crashes_without_override(force_packed_g_no_override,
+                                     monkeypatch):
+    # Kill switch forces the force_unpacked route; with the gate also
+    # ignoring packed_paths_disabled, the bare packed launches reach the
+    # grad-of-grad trace — the pre-fix crash.
+    monkeypatch.setenv("MGT_PACKED_SECOND_ORDER", "0")
     model, variables, z = _init_g(_g_cfg())
     with pytest.raises(Exception):
         _pl_grads(model, variables, z)

@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--second-order", action="store_true",
+                    help="route BOTH PL and R1 reg stages through the "
+                    "packed second-order wrappers (sets "
+                    "second_order._DEFAULT_REG_SECOND_ORDER all-True; "
+                    "unlike MGT_PACKED_SECOND_ORDER=1 the main stages "
+                    "keep the lean saved-residual backward). The "
+                    "production default is PL-only — see "
+                    "ops/second_order.py::_DEFAULT_REG_SECOND_ORDER")
     ap.add_argument("--stages", action="store_true",
                     help="also time the four stages individually (their "
                     "executables are warmed BEFORE the full iteration: "
@@ -43,6 +51,12 @@ def main():
                     "any NEW program dies with a relay InvalidArgument — "
                     "HBM is exhausted at 1024^2 batch 4)")
     args = ap.parse_args()
+
+    if args.second_order:
+        from morphganformer_tpu.ops import second_order
+        second_order._DEFAULT_REG_SECOND_ORDER = {"pl": True, "r1": True}
+        print("second-order: reg stages route through the packed wrappers",
+              flush=True)
 
     from morphganformer_tpu.models import ffhq1024_config
     from morphganformer_tpu.models.config import DiscriminatorConfig
