@@ -31,10 +31,12 @@ g_reg_interval/d_reg_interval (lazy regularization). Default OFF: with
 the gate unset none of this module is reachable and the production
 traces are byte-identical (training/loss.py keeps force_unpacked).
 
-On-chip motivation (tools/profile_train.py --stages, 1024^2 batch 4
-bf16): G_reg 512.4 ms and D_reg 501.7 ms under force_unpacked vs
-G_main 136.0 / D_main 146.4 ms packed — the reg stages are ~34% of the
-amortized training step.
+On-chip verdict (round 3, same-relay-session A/B at 1024^2 batch 4
+bf16, tools/profile_train.py --stages): force_unpacked wins — G_reg
+339.1 ms unpacked vs 360.0 ms scoped (and ~5x the cold compile),
+D_reg 496.6 ms unpacked vs 5969 ms scoped. XLA's own rematerialized
+grad-of-grad trace beats recompute-based wrappers here; the module
+stays as the opt-in A/B route (see _DEFAULT_REG_SECOND_ORDER).
 
 Reference anchor: training/loss.py:92-107 (pl_grads via
 torch.autograd.grad(create_graph=True)), :149-159 (r1_grads).
@@ -71,13 +73,22 @@ def packed_second_order() -> bool:
 # once the wrapper refs were spelled in tap form (see the tap-form
 # comment below; the conv-form refs OOMed HBM at 18.52G/15.75G on two
 # 8 GB grad-of-grad temps, and after the k=3 fix the k=1 skip ref OOMed
-# the same way at 19.70G):
-#   * PL (G_reg):  512.4 ms force_unpacked -> 360.0 ms scoped (1.42x)
-#     — ON by default.
-#   * R1 (D_reg):  501.7 ms force_unpacked -> 5969 ms scoped (11.9x
-#     SLOWER: the D tower's strided-window dconv tap refs lower to
-#     copy-heavy gathers under reverse-over-reverse) — OFF by default.
-_DEFAULT_REG_SECOND_ORDER = {"pl": True, "r1": False}
+# the same way at 19.70G). Same-relay-session A/B (G_main/D_main within
+# 0.1 ms across the three runs, so conditions were comparable):
+#   * PL (G_reg):  339.1 ms force_unpacked vs 360.0 ms scoped — scoped
+#     is ~6% SLOWER and its cold compile is ~5x longer (1354 s vs
+#     276 s single-stage compile+run). An earlier cross-session 512.4 ms
+#     force_unpacked reading (recorded in ROADMAP/SCALING's stage split,
+#     EMA 25.8 ms vs 11-14.5 ms here — a slower relay window) briefly
+#     argued the other way; the controlled A/B does not.
+#   * R1 (D_reg):  496.6 ms force_unpacked vs 5969 ms scoped (12x
+#     SLOWER: the D tower's strided-window dconv tap refs lowered to
+#     copy-heavy gathers under reverse-over-reverse; _taps_dconv2 now
+#     uses a space-to-depth phase split with static slices, unmeasured
+#     on-chip at production config).
+# Both stages therefore default to the force_unpacked XLA trace; the
+# scoped route stays available for A/Bs via MGT_PACKED_SECOND_ORDER=1.
+_DEFAULT_REG_SECOND_ORDER = {"pl": False, "r1": False}
 
 
 def reg_stage_second_order(stage: str = "pl") -> bool:
@@ -182,17 +193,26 @@ def _taps_upconv2_polyphase(x, k, p0):
 
 def _taps_dconv2(x, k, q0):
     """Stride-2 correlation with composed LxL kernel k and left pad q0
-    (conv2d_resample down-branch semantics) as LxL strided-window
-    matmuls. x: [N,H,W,Ci]; k: [L,L,Ci,Co] in x.dtype."""
-    n, h, width, _ = x.shape
+    (conv2d_resample down-branch semantics) as LxL tap matmuls over a
+    space-to-depth phase split. Output n reads padded row 2n+i =
+    2(n + i//2) + (i%2), so tap (i, j) is a STATIC slice of phase
+    (i%2, j%2) — no strided windows, whose gather/scatter transposes
+    dominated the second-order D_reg trace. x: [N,H,W,Ci];
+    k: [L,L,Ci,Co] in x.dtype."""
+    n, h, width, ci = x.shape
     L = int(k.shape[0])
     ho, wo = h // 2, width // 2
     pr = 2 * (ho - 1) + L - h - q0
     xp = jnp.pad(x, ((0, 0), (q0, max(pr, 0)), (q0, max(pr, 0)), (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    xp = jnp.pad(xp, ((0, 0), (0, hp % 2), (0, wp % 2), (0, 0)))
+    hp, wp = hp + hp % 2, wp + wp % 2
+    ph = xp.reshape(n, hp // 2, 2, wp // 2, 2, ci)
     y = None
     for i in range(L):
         for j in range(L):
-            win = xp[:, i:i + 2 * (ho - 1) + 1:2, j:j + 2 * (wo - 1) + 1:2, :]
+            win = ph[:, i // 2:i // 2 + ho, i % 2,
+                     j // 2:j // 2 + wo, j % 2, :]
             t = jnp.einsum("nhwc,co->nhwo", win, k[i, j])
             y = t if y is None else y + t
     return y

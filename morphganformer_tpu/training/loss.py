@@ -132,13 +132,12 @@ def g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
 
     PL is a grad-of-grad through synthesis and the packed kernels'
     custom VJPs are first-order constructs, so by default this stage
-    traces inside second_order_scope(): the packed ops route through
-    second-order-capable wrappers (ops/second_order.py) and every
-    first-order primal stays on the packed kernels — 512.4 -> 360.0 ms
-    on-chip at 1024^2 batch 4. MGT_PACKED_SECOND_ORDER=0 falls back to
-    the pure-XLA force_unpacked trace (the pre-round-3 behavior); the
-    stage runs at 1/g_reg_interval frequency (lazy regularization)
-    either way."""
+    traces inside packed_override.force_unpacked() (pure XLA, whose
+    remat'd grad-of-grad measured 339.1 ms vs 360.0 ms for the scoped
+    wrapper route on-chip at 1024^2 batch 4, at ~1/5 the cold compile).
+    MGT_PACKED_SECOND_ORDER=1 routes through the second-order-capable
+    packed wrappers instead (ops/second_order.py); the stage runs at
+    1/g_reg_interval frequency (lazy regularization) either way."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
     from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
                                                      second_order_scope)
@@ -198,10 +197,10 @@ def d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
     """R1 gradient penalty (reference loss.py:149-159).
 
     Traces with the packed pallas paths disabled by default
-    (grad-of-grad through D): unlike PL, routing R1 through the
-    second-order wrappers measured 11.9x SLOWER on-chip (the D tower's
-    strided-window dconv tap refs lower to copy-heavy gathers under
-    reverse-over-reverse; see ops/second_order.py), so only
+    (grad-of-grad through D): routing R1 through the second-order
+    wrappers measured 12x SLOWER on-chip (496.6 -> 5969 ms — the D
+    tower's strided-window dconv tap refs lowered to copy-heavy gathers
+    under reverse-over-reverse; see ops/second_order.py), so only
     MGT_PACKED_SECOND_ORDER=1 selects the scoped route here.
     Runs at 1/d_reg_interval frequency."""
     from morphganformer_tpu.ops.packed_override import force_unpacked

@@ -172,9 +172,11 @@ def test_scope_routes_without_env(monkeypatch):
     from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
                                                      second_order_scope)
     assert not packed_second_order()
-    # Default policy: scoped for PL (1.42x on-chip), unpacked for R1
-    # (tap-ref route measured 11.9x slower there).
-    assert reg_stage_second_order("pl")
+    # Default policy: unpacked for both stages — the controlled on-chip
+    # A/B has force_unpacked faster for PL (339.1 vs 360.0 ms) and R1
+    # (496.6 vs 5969 ms); scoped stays the MGT_PACKED_SECOND_ORDER=1
+    # opt-in.
+    assert not reg_stage_second_order("pl")
     assert not reg_stage_second_order("r1")
 
     n, h, wdt, c, o = 1, 8, 16, 8, 8

@@ -3,11 +3,12 @@ packed pallas paths active.
 
 The packed kernels carry custom VJPs whose backwards are raw pallas
 launches — only first-order differentiable. Path-length regularization
-(grad-of-grad through G, reference training/loss.py:92-107) traces
-inside `second_order_scope()` by default (the packed wrappers,
-ops/second_order.py); R1 (grad-of-grad through D, :149-159) traces
-inside `packed_override.force_unpacked()`, falling back to XLA layers
-(the scoped route measured 11.9x slower there on-chip). These tests
+(grad-of-grad through G, reference training/loss.py:92-107) and R1
+(grad-of-grad through D, :149-159) both trace inside
+`packed_override.force_unpacked()` by default, falling back to XLA
+layers (the on-chip A/B has that faster than the scoped
+second-order-wrapper route for both stages; MGT_PACKED_SECOND_ORDER=1
+opts into the wrappers, ops/second_order.py). These tests
 force the packed gates on (production structural predicate, CPU
 interpret mode) and assert (a) with BOTH guards disabled
 (MGT_PACKED_SECOND_ORDER=0 kill switch + a gate that ignores

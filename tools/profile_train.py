@@ -42,7 +42,7 @@ def main():
                     "second_order._DEFAULT_REG_SECOND_ORDER all-True; "
                     "unlike MGT_PACKED_SECOND_ORDER=1 the main stages "
                     "keep the lean saved-residual backward). The "
-                    "production default is PL-only — see "
+                    "production default is off for both stages — see "
                     "ops/second_order.py::_DEFAULT_REG_SECOND_ORDER")
     ap.add_argument("--stages", action="store_true",
                     help="also time the four stages individually (their "
