@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """Fingerprint the benchmark headline program to detect compile-cache drift.
 
-The driver's bench window depends on the committed .bench_cache/ covering
-the 1024^2 projection-scan executable; any change to its traced
-computation (an op, a packed-kernel body, a dtype) forces a ~20-minute
-remote Mosaic/XLA recompile, while pure source motion (comments, renames,
-line shifts) is harmless — the cache key strips location metadata
-(jax cache_key._canonicalize_ir). This tool answers "did commit X break
-the cache?" in ~2 CPU-minutes, with no TPU access:
+The driver's bench window depends on the committed .bench_aot/ store
+covering the 1024^2 projection-scan executable; any change to its traced
+computation (an op, a packed-kernel body, a dtype) makes the stored
+executables stale (they would silently run the OLD program), while pure
+source motion (comments, renames, line shifts) is harmless. This tool
+answers "did commit X invalidate the AOT store?" in ~2 CPU-minutes, with
+no TPU access:
 
   * xla_ir_sha    — sha256 of the CANONICALIZED StableHLO of the headline
                     projection scan, lowered on CPU. Catches changes to
@@ -41,7 +41,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-FINGERPRINT = os.path.join(REPO, ".bench_cache", "fingerprint.json")
+FINGERPRINT = os.path.join(REPO, ".bench_aot", "fingerprint.json")
 
 
 def _headline_pieces():

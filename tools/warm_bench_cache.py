@@ -1,33 +1,51 @@
 #!/usr/bin/env python
-"""Warm and verify the committed benchmark compile cache.
+"""Mint and verify the committed benchmark AOT executable store.
 
 The driver's bench window cannot absorb the ~20-minute remote Mosaic/XLA
-compile of the packed 1024^2 projection scan, so bench.py reads a
-persistent compilation cache from the committed .bench_cache/ directory.
-This tool (re)builds that cache on the real chip and proves a fresh
-process hits it:
+compile of the packed 1024^2 projection scan, and jax's persistent
+compilation cache proved un-committable (its key hashes the backend
+compile env, which drifts on VM re-provision — 4 documented drifts in
+round 3, two rounds of lost scoreboard numbers). The committed artifact
+is now `.bench_aot/`: serialized PRE-COMPILED executables
+(jax.experimental.serialize_executable) that load in ~0.1 s with no XLA
+compile at all, keyed only by program name + runtime version.
 
-  python tools/warm_bench_cache.py          # warm (full bench run)
-  python tools/warm_bench_cache.py --verify # fresh-process timing report
+  python tools/warm_bench_cache.py          # mint all AOT blobs on-chip
+  python tools/warm_bench_cache.py --verify # fresh-process cold-run proof
+  python tools/warm_bench_cache.py --fresh  # delete the store first
 
 Run with NOTHING else using the TPU: the axon relay wedges under
 concurrent clients (see ROADMAP.md infrastructure notes).
 """
 
 import argparse
+import json
 import os
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CACHE = os.path.join(REPO, ".bench_cache")
+AOT_DIR = os.path.join(REPO, ".bench_aot")
+
+ALL_METRICS = {
+    "projection_1024_steps_per_sec",
+    "generation_1024_imgs_per_sec",
+    "morph_pair_projection_steps_per_sec",
+    "train_1024_imgs_per_sec",
+}
 
 
-def run_bench(tag):
+def run_bench(tag, env_extra, scratch_cache=True):
+    env = dict(os.environ)
+    env.update(env_extra)
+    if scratch_cache:
+        # The persistent cache stays a LOCAL accelerator — never committed.
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(REPO, ".bench_cache"))
     t0 = time.time()
     p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       capture_output=True, text=True)
+                       capture_output=True, text=True, env=env)
     dt = time.time() - t0
     lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
     print(f"[{tag}] rc={p.returncode} wall={dt:.0f}s json_lines={len(lines)}")
@@ -40,8 +58,8 @@ def run_bench(tag):
 
 
 def _write_fingerprint():
-    """Record the headline-program fingerprint the cache now covers, so
-    `tools/headline_fingerprint.py --check` can detect cache-breaking
+    """Record the headline-program fingerprint the AOT store now covers, so
+    `tools/headline_fingerprint.py --check` can detect store-breaking
     commits without a TPU (runs in a subprocess: the fingerprint forces
     the cpu platform, which must not disturb this process)."""
     p = subprocess.run(
@@ -55,39 +73,68 @@ def _write_fingerprint():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--verify", action="store_true",
-                    help="fresh-process run against the existing cache")
+                    help="fresh-process driver-conditions run against the "
+                         "existing AOT store")
     ap.add_argument("--fresh", action="store_true",
-                    help="delete the cache first (full re-warm)")
+                    help="delete the AOT store first (full re-mint)")
     args = ap.parse_args()
 
     if args.fresh:
         import shutil
-        shutil.rmtree(CACHE, ignore_errors=True)
-        os.makedirs(CACHE, exist_ok=True)
-        print("cache cleared")
+        shutil.rmtree(AOT_DIR, ignore_errors=True)
+        os.makedirs(AOT_DIR, exist_ok=True)
+        print("AOT store cleared")
 
     if args.verify:
-        rc, dt, lines = run_bench("verify")
-        ok = rc == 0 and lines and dt < 420
-        print(f"verify {'OK' if ok else 'FAILED'}: cold-with-cache "
-              f"wall {dt:.0f}s (target < 420s for the driver window)")
+        # Exactly the driver's conditions: no special env, default deadline.
+        rc, dt, lines = run_bench("verify", {})
+        objs = [json.loads(l) for l in lines]
+        heads = [o for o in objs
+                 if o.get("metric") == "projection_1024_steps_per_sec"]
+        ok = (rc == 0 and heads
+              and heads[-1].get("detail", {}).get("exec_source") == "aot"
+              and not heads[-1].get("detail", {}).get("provisional")
+              and dt < 420)
+        missing = ALL_METRICS - {o.get("metric") for o in objs}
+        print(f"verify {'OK' if ok else 'FAILED'}: wall {dt:.0f}s "
+              f"(target < 420s); anchors missing from this run: "
+              f"{sorted(missing) or 'none'}")
         if ok:
             _write_fingerprint()
         sys.exit(0 if ok else 1)
 
-    # A cold run can exhaust bench.py's internal deadline after the
-    # projection compile and skip the generation/morph anchors — their
-    # executables then never reach the cache. Re-run until every anchor
-    # emitted its JSON line (each pass only compiles what the previous
-    # one skipped), then once more to prove the fully-warm wall time.
-    for attempt in range(4):
-        rc, dt, lines = run_bench(f"warm{attempt}")
-        metrics = {l.split('"')[3] for l in lines}
-        if rc == 0 and len(metrics) >= 3:
-            print(f"all anchors warm after {attempt + 1} run(s)")
+    # Mint pass: allow compiles, save every executable the bench path
+    # lowers. One pass normally suffices (phases are sequential processes);
+    # re-run once if an anchor failed to emit.
+    env = {"MGT_BENCH_ALLOW_COMPILE": "1", "MGT_BENCH_SAVE_AOT": "1",
+           "MGT_BENCH_DEADLINE": "100000"}
+    for attempt in range(2):
+        rc, dt, lines = run_bench(f"mint{attempt}", env)
+        metrics = {json.loads(l).get("metric") for l in lines}
+        if rc == 0 and ALL_METRICS <= metrics:
+            print(f"all anchors minted after {attempt + 1} run(s)")
             break
     else:
-        print("WARNING: not all anchors warmed in 4 runs")
+        print("WARNING: not all anchors minted in 2 runs")
+
+    # Mint the provisional fallback's blob too (the unpacked-XLA headline,
+    # phase headline-xla) — it never runs in a successful mint pass, but
+    # with its blob present even the fallback path is instant.
+    t0 = time.time()
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--phase", "headline-xla"],
+        capture_output=True, text=True,
+        env={**os.environ, **env,
+             "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".bench_cache")})
+    print(f"[mint-xla] rc={p.returncode} wall={time.time()-t0:.0f}s "
+          f"{[l for l in p.stdout.splitlines() if l.startswith('{')]}")
+
+    manifest = os.path.join(AOT_DIR, "MANIFEST.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            print("manifest:", json.dumps(json.load(f), indent=1))
+    _write_fingerprint()
 
 
 if __name__ == "__main__":
