@@ -158,22 +158,14 @@ class Conv2dLayer(nn.Module):
     packed: bool = False    # lane-packed [B, H, G, 128] in/out (TPU pipeline)
 
     @nn.compact
-    def __call__(self, x, resid=None, weight_only=False):
+    def __call__(self, x, resid=None):
         """`resid` (packed paths only): skip-branch tensor shaped like the
         output, added in-kernel after the activation (the D resnet
-        block's former explicit `y + x`).
-
-        `weight_only`: register the parameter and return the runtime-scaled
-        weight instead of running the conv — the G resnet block's fused
-        skip+conv0 launch (ops/pallas_conv.py fused_packed_upconv2_resnet)
-        consumes this module's weight inside SynthesisLayer's launch while
-        the param keeps its `skip/weight` checkpoint name."""
+        block's former explicit `y + x`)."""
         k = self.kernel_size
         w = self.param("weight", weight_init(1.0),
                        (k, k, self.in_channels, self.out_channels))
         coef = runtime_coef(self.in_channels * k * k)
-        if weight_only:
-            return (w * coef).astype(jnp.float32)
         f = setup_filter(list(self.resample_kernel))
         if self.packed and self.up == 2:
             # Packed-pipeline skip branch: unmodulated 1x1 conv + FIR up2

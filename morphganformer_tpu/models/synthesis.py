@@ -69,15 +69,6 @@ def packed_block_eligible(cfg: GANformerConfig, res: int,
     return packed_structural_ok(cfg, res, noise_mode)
 
 
-def fused_skip_enabled() -> bool:
-    """Gate for the fused skip+conv0 resnet launch
-    (fused_packed_upconv2_resnet). Default off until the on-chip A/B and
-    bench-cache re-warm land; MGT_FUSED_SKIP=1 enables."""
-    import os
-
-    return os.environ.get("MGT_FUSED_SKIP", "0") == "1"
-
-
 def packed_structural_ok(cfg: GANformerConfig, res: int,
                          noise_mode: str) -> bool:
     """Structural part of the packed gate (no env/backend checks) — the
@@ -124,25 +115,19 @@ class SynthesisLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, att_vars=None, pos=None, mask=None,
-                 noise_mode="random", train: bool = False, resid=None,
-                 skip_w=None, skip_gain: float = 1.0):
+                 noise_mode="random", train: bool = False, resid=None):
         """`resid` (or None): a skip-branch tensor shaped like this layer's
         output, added after the activation — the resnet block's former
         explicit `y_skip + x`. On the fused same-res pallas path the add
         happens in-kernel (one output-res read+write pass cheaper); every
-        other path falls back to an explicit add before returning.
-
-        `skip_w` (packed up-2 path only): the resnet skip branch's
-        runtime-scaled 1x1 weight — conv0 and the skip then run as ONE
-        pallas launch (fused_packed_upconv2_resnet) and the return becomes
-        a 4-tuple (x, att_map, att_vars, y_skip)."""
+        other path falls back to an explicit add before returning."""
         cfg = self.cfg
         assert noise_mode in ("random", "const", "none")
         k = self.kernel_size
         in_res = self.out_res // self.up
         if self.packed and self.in_channels > 128:
-            # Channel-split packed block (b256): input stays pixel NHWC;
-            # the split kernels slice 128-lane halves themselves.
+            # Wide-lane packed block (b256): input stays pixel NHWC — the
+            # P=1 packed form at 256 lanes.
             assert x.shape[1:] == (in_res, in_res, self.in_channels), \
                 f"expected [B,{in_res},{in_res},{self.in_channels}], got {x.shape}"
         elif self.packed:
@@ -168,13 +153,8 @@ class SynthesisLayer(nn.Module):
         # lane-packed [B, H, G, 128] representation.
         from morphganformer_tpu.ops.pallas_conv import (
             fused_modconv3x3_lrelu, fused_packed_upconv2,
-            fused_packed_upconv2_c256, fused_synth_conv_eligible)
-        use_fused = (
-            cfg.style and self.up == 1 and k == 3 and not self.use_transformer
-            and not self.packed
-            and noise_mode in ("const", "none") and cfg.act == "lrelu"
-            and fused_synth_conv_eligible(x.shape, self.out_channels, 1))
-        if use_fused or self.packed:
+            fused_packed_upconv2_c256)
+        if self.packed:
             from morphganformer_tpu.ops.bias_act import activation_funcs
 
             noise = None
@@ -210,33 +190,19 @@ class SynthesisLayer(nn.Module):
                 alpha = 1.0
                 act_gain = 1.0
             w_full = (w * w_gain).astype(jnp.float32)
-            if self.packed and self.up == 2 and self.in_channels > 128:
+            if self.up == 2 and self.in_channels > 128:
                 x = fused_packed_upconv2_c256(x, w_full, styles, f, noise, b,
                                               act_gain, alpha, True, False)
                 if resid is not None:
                     x = x + resid.astype(x.dtype)
-            elif self.packed and self.up == 2 and skip_w is not None:
-                # Fused resnet entry: conv0 + the block's skip 1x1-up in
-                # one launch (the skip's separate grid/input stream was
-                # ~0.31 ms/launch at flagship shapes, ROADMAP round 3).
-                from morphganformer_tpu.ops.pallas_conv import (
-                    fused_packed_upconv2_resnet)
-                assert resid is None
-                x, y_skip = fused_packed_upconv2_resnet(
-                    x, w_full, styles, skip_w, f, noise, b, act_gain,
-                    alpha, True, False, skip_gain)
-                return x, None, att_vars, y_skip
-            elif self.packed and self.up == 2:
+            elif self.up == 2:
                 x = fused_packed_upconv2(x, w_full, styles, f, noise, b,
                                          act_gain, alpha, True, False)
                 if resid is not None:
                     x = x + resid.astype(x.dtype)
-            elif self.packed:
-                x = fused_modconv3x3_lrelu(x, w_full, styles, noise, b,
-                                           resid, act_gain, alpha, True, True)
             else:
                 x = fused_modconv3x3_lrelu(x, w_full, styles, noise, b,
-                                           resid, act_gain, alpha, True)
+                                           resid, act_gain, alpha, True, True)
             return x, None, att_vars
 
         x = modulated_conv2d(
@@ -393,15 +359,13 @@ class SynthesisBlock(nn.Module):
             assert x.shape[1:] == (res // 2, res // 2, in_channels)
         x = x.astype(dtype)
 
-        def conv(name, idx, in_ch, up, gain, resid=None, skip_w=None,
-                 skip_gain=1.0):
+        def conv(name, idx, in_ch, up, gain, resid=None):
             layer = SynthesisLayer(
                 cfg=cfg, in_channels=in_ch, out_channels=out_channels,
                 out_res=res, up=up, gain=gain, use_transformer=use_tr,
                 local_noise=cfg.local_noise, packed=packed, name=name)
             return layer(x, ws[:, :, idx], att_vars=att_vars, pos=pos, mask=mask,
-                         noise_mode=noise_mode, train=train, resid=resid,
-                         skip_w=skip_w, skip_gain=skip_gain)
+                         noise_mode=noise_mode, train=train, resid=resid)
 
         if stem:
             x, am, att_vars = conv("conv1", next(w_i), out_channels, 1, 1.0)
@@ -412,19 +376,8 @@ class SynthesisBlock(nn.Module):
                                    resample_kernel=cfg.resample_kernel,
                                    gain=get_gain(arch), packed=packed,
                                    name="skip")
-            if packed and in_channels <= 128 and fused_skip_enabled():
-                # One launch for skip + conv0 (same input stream): the
-                # skip module only materializes its weight; the fused
-                # kernel computes both branches (pallas_conv.py
-                # fused_packed_upconv2_resnet).
-                w_sk = skip_mod(x, weight_only=True)
-                x, am, att_vars, y_skip = conv(
-                    "conv0", next(w_i), in_channels, 2, 1.0,
-                    skip_w=w_sk, skip_gain=get_gain(arch))
-            else:
-                y_skip = skip_mod(x)
-                x, am, att_vars = conv("conv0", next(w_i), in_channels, 2,
-                                       1.0)
+            y_skip = skip_mod(x)
+            x, am, att_vars = conv("conv0", next(w_i), in_channels, 2, 1.0)
             att_maps.append(am)
             # The skip-branch add rides conv1's fused epilogue when conv1
             # takes the pallas path (explicit add otherwise) — see

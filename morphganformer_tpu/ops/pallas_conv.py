@@ -34,11 +34,19 @@ an isolated pallas call makes its XLA neighbors WORSE (skip upfirdn
 0.6 -> 3.0 ms). With the whole chain packed no narrow-lane tensor exists:
 the flagship 1024^2 projection step went 35.2 -> 18.7 ms/step
 (bench vs_baseline 0.85 -> 1.60 against the <30 s/1000-step target).
-Gates: MGT_PACKED_SYNTH=0 disables the packed pipeline (default ON on
-TPU, see models/synthesis.py::packed_block_eligible); MGT_FUSED_SYNTH=1
-additionally enables the standalone per-layer fused modconv for configs
-the packed pipeline doesn't cover (off by default — a lone pallas call
-degrades its XLA neighbors' layouts).
+Live gates (each guards a working A/B or profiling mode; settled
+experiments were pruned in round 4 — ROADMAP.md keeps their records):
+  MGT_PACKED_SYNTH=0   disable the packed pipeline (default ON on TPU,
+                       models/synthesis.py::packed_block_eligible)
+  MGT_PACKED_B256=0    exclude the 256-channel block from the packed
+                       chain (tools/profile_b256_ab.py A/B)
+  MGT_PACKED_D=0       unpacked discriminator tower (tools/profile_train
+                       A/B; the unpacked side OOMs at 1024^2 batch 4)
+  MGT_SKIP_DW / MGT_SKIP_DD  dev-profiling: compile out the weight-grad /
+                       demod-chain taps to price them (gradients WRONG;
+                       tools/profile_dw.py, tools/profile_dd.py only)
+  MGT_PACKED_SECOND_ORDER    route PL/R1 through the second-order packed
+                       wrappers (ops/second_order.py A/B)
 """
 
 from __future__ import annotations
@@ -975,40 +983,6 @@ def _modconv_bwd_impl(gain, alpha, demodulate, packed_io, res, g):
 fused_modconv3x3_lrelu.defvjp(_modconv_fwd, _modconv_bwd, symbolic_zeros=True)
 
 
-def fused_synth_conv_eligible(x_shape, co, groups) -> bool:
-    """SynthesisLayer gate for the fused modconv pallas path.
-
-    Still opt-in (MGT_FUSED_SYNTH=1): the round-2 redesign applies
-    style/demod/noise/bias/lrelu in-kernel with an in-VMEM halo (no jnp.pad)
-    and skips weight grads unless the weight is actually differentiated —
-    the kernel runs 2.2x faster than XLA's conv in-model (profiled 0.42 ms
-    vs 0.92 ms at 1024^2/32ch bf16) and the f+b in-model composition beats
-    XLA. But a lone pallas call still degrades its NEIGHBORS: XLA assigns
-    narrow-lane conv layouts (T(2,128)) to the surrounding upfirdn/polyphase
-    convs and inserts multi-hundred-us relayout copies at the pallas
-    boundary (profiled: the skip upfirdn goes 0.6 -> 3.0 ms when conv_last
-    is fused). The fix is the packed high-resolution pipeline (keep
-    [H, W/pack, 128] lane-packed activations across ALL >=512 ops) — until
-    that lands end to end, the gate stays opt-in."""
-    import os
-
-    import jax
-
-    from morphganformer_tpu.ops.packed_override import packed_paths_disabled
-
-    if packed_paths_disabled():
-        return False
-    if os.environ.get("MGT_FUSED_SYNTH", "0") != "1":
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    if groups != 1:
-        return False
-    n, h, w, c = x_shape
-    return (h == w and h >= 512 and c <= 64 and co <= 64
-            and w % max(1, 128 // max(c, co)) == 0)
-
-
 def pallas_conv_eligible(x_shape, w_shape, groups) -> bool:
     """conv2d_resample gate: plain SAME 3x3, stride 1, no groups, big
     spatial + low channels — where the packed kernel measures ~1.4-2.2x
@@ -1138,8 +1112,7 @@ def _pack_downconv_kernel(kpix, pack_in, pack_out, p0):
 
 def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
                           tile_out, wg, gain, alpha, use_noise, use_bias,
-                          masks, use_dw=False, use_skip=False,
-                          skip_masks=None):
+                          masks, use_dw=False):
     """Packed 2x-up modulated conv + demod + noise + bias + lrelu. Output
     tile rows [r0, r0+tile_out) draw on input rows r0//2 - 1 .. r0//2 +
     tile_out//2 (+1 halo each side, same VMEM-halo scheme as
@@ -1153,19 +1126,7 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
     u_par — the very window slices the dx dots below already take, so
     the down-conv's WEIGHT gradient costs 9 extra MXU dots per parity
     and zero extra HBM traffic (the caller folds dBlk back through the
-    linear packing chain).
-
-    use_skip (fused resnet-block forward): two extra VMEM parity kernels
-    ske/sko — the UNMODULATED skip 1x1-up conv packed by the same
-    _pack_upconv_kernel (skip gain pre-folded) — and a second output
-    block. The skip dots slice the very same RAW x windows already
-    resident for the conv0 dots (skip is style-free, so its windows skip
-    the `xs = x*s` scale), so the block's skip branch costs only its
-    masked MXU dots and its output DMA — the separate skip launch's grid
-    and input stream disappear (per-launch floor, ROADMAP round 3)."""
-    if use_skip:
-        ske_ref, sko_ref = rest[0], rest[1]
-        rest = rest[2:]
+    linear packing chain)."""
     if use_noise:
         noise_ref, rest = rest[0], rest[1:]
     if use_bias:
@@ -1173,8 +1134,6 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
     if use_dw:
         u_ref, rest = rest[0], rest[1:]
     o_ref, *rest = rest
-    if use_skip:
-        osk_ref, *rest = rest
     if use_dw:
         dw_ref, *rest = rest
     x_vmem, sems = rest
@@ -1269,26 +1228,6 @@ def _packed_upconv_kernel(x_hbm, we_ref, wo_ref, s_ref, d_ref, *rest,
     if gain != 1.0:
         y = y * gain
     o_ref[0] = y.astype(o_ref.dtype)
-    if use_skip:
-        # Resnet skip branch: unmodulated dots on the RAW x windows (no
-        # style scale); gain folded into the blocks, no demod/noise/bias/
-        # act. Roughly half the 18 block dots are structurally zero for
-        # the 1x1-composed-FIR kernel (L=4).
-        xr = x_vmem[slot]
-        sk_accs = []
-        for w_ref, mask in zip((ske_ref, sko_ref), skip_masks):
-            acc = jnp.zeros((tile_in * wg, po), jnp.float32)
-            for dy in range(3):
-                for dx in range(3):
-                    if not mask[dy][dx]:
-                        continue
-                    win = xr[dy:dy + tile_in, 7 + dx:7 + dx + wg, :].reshape(
-                        tile_in * wg, pc)
-                    acc = acc + jnp.dot(win, w_ref[dy, dx],
-                                        preferred_element_type=jnp.float32)
-            sk_accs.append(acc.reshape(tile_in, 1, wg, po))
-        osk_ref[0] = jnp.concatenate(sk_accs, axis=1).reshape(
-            tile_out, wg, po).astype(osk_ref.dtype)
 
 
 def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
@@ -1466,8 +1405,7 @@ def _packed_downconv_kernel(g_hbm, w_ref, *rest, tile_s, wg, mask,
 
 
 def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
-                          masks=None, dot_with=None, dw_taps=False,
-                          skip_blk=None, skip_masks=None):
+                          masks=None, dot_with=None, dw_taps=False):
     """Run the packed up-conv kernel. xp: [N, H_in, G, PC]; blk:
     [2, 3, 3, PC, QO] parity kernels; s_p [N, PC]; d_p [N, QO] f32;
     noise_p [H_out, G, QO] or None; bias_p [QO] f32 or None; masks:
@@ -1478,24 +1416,18 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
     down-conv input [N, H_out, G, QO]): adds a grid-resident f32 output
     dBlk [2, 3, 3, PC, QO] — the parity block kernels' cotangent under
     <dot_with, output>, accumulated across every (batch, tile) step (see
-    the kernel's use_dw block). Returns (y, dBlk).
-
-    skip_blk/skip_masks (fused resnet forward): a second parity kernel set
-    [2, 3, 3, PC, QO] for the unmodulated skip 1x1-up (gain pre-folded);
-    adds a second output and returns (y, y_skip)."""
+    the kernel's use_dw block). Returns (y, dBlk)."""
     n, h_in, wg, pc = xp.shape
     qo = blk.shape[-1]
     h_out = 2 * h_in
     use_noise = noise_p is not None
     use_bias = bias_p is not None
-    use_skip = skip_blk is not None
     assert not dw_taps or dot_with is not None
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
 
     es = xp.dtype.itemsize
     budget = (10 * 1024 * 1024
-              - (2 * 9 * pc * qo * 4 if dw_taps else 0)
-              - (2 * 9 * pc * qo * es if use_skip else 0))
+              - (2 * 9 * pc * qo * 4 if dw_taps else 0))
     tile_out = 2
     for t in (32, 16, 8, 4, 2):
         if h_out % t:
@@ -1504,8 +1436,6 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
         need = (2 * (ti + 2) * wgp * pc * es + 2 * t * wg * qo * es
                 + (2 * t * wg * qo * es if use_noise else 0)
                 + (2 * t * wg * qo * es if dw_taps else 0)
-                + (2 * t * wg * qo * es + 2 * ti * wg * qo * 4
-                   if use_skip else 0)
                 + 2 * ti * wg * qo * 4 + (ti + 2) * wgp * pc * es)
         if need <= budget:
             tile_out = t
@@ -1521,12 +1451,6 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # demod  [N, QO]
     ]
     args = [xp, blk[0], blk[1], s_p, d_p]
-    if use_skip:
-        for par in range(2):
-            in_specs.append(pl.BlockSpec((3, 3, pc, qo),
-                                         lambda b, i: (0, 0, 0, 0),
-                                         memory_space=pltpu.VMEM))
-            args.append(skip_blk[par])
     if use_noise:
         if noise_p.ndim == 4:      # per-sample noise [N, H_out, wg, QO]
             in_specs.append(pl.BlockSpec((1, tile_out, wg, qo),
@@ -1555,18 +1479,12 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
                               tile_out=tile_out, wg=wg, gain=float(gain),
                               alpha=float(alpha), use_noise=use_noise,
                               use_bias=use_bias, masks=masks,
-                              use_dw=dw_taps, use_skip=use_skip,
-                              skip_masks=skip_masks)
+                              use_dw=dw_taps)
 
     out_shapes = [jax.ShapeDtypeStruct((n, h_out, wg, qo), xp.dtype)]
     out_specs_l = [pl.BlockSpec((1, tile_out, wg, qo),
                                 lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)]
-    if use_skip:
-        out_shapes.append(jax.ShapeDtypeStruct((n, h_out, wg, qo), xp.dtype))
-        out_specs_l.append(pl.BlockSpec((1, tile_out, wg, qo),
-                                        lambda b, i: (b, i, 0, 0),
-                                        memory_space=pltpu.VMEM))
     if dw_taps:
         # Grid-invariant block: stays VMEM-resident across every step and
         # is written back once at the end of the launch.
@@ -2027,183 +1945,6 @@ fused_packed_upconv2.defvjp(_packed_upconv_fwd, _packed_upconv_bwd,
                             symbolic_zeros=True)
 
 
-# ---------------------------------------------------------------------------
-# Fused resnet-block entry: conv0 (2x-up modulated) + skip (2x-up
-# unmodulated 1x1) in ONE launch. The two branches read the same input
-# (reference SynthesisBlock resnet arch, networks.py:1150-1161); as
-# separate launches each pays the per-grid-step Mosaic floor and streams
-# x twice (~0.31 ms per skip launch at the flagship shapes,
-# tools/profile_b256.py). The fused kernel adds the skip's masked block
-# dots on the raw x windows already VMEM-resident for conv0 — see
-# _packed_upconv_kernel's use_skip.
-# ---------------------------------------------------------------------------
-
-
-def _packed_upconv_resnet_fwd_impl(x, w, styles, w_skip, f, noise, bias,
-                                   gain, alpha, demodulate, flip_weight,
-                                   skip_gain):
-    n, h_in, wg, lanes = x.shape
-    cin, cout = w.shape[2], w.shape[3]
-    P, Q, p0 = _upconv_geometry(x.shape, w.shape, f)
-    s = styles if styles is not None else jnp.ones((n, cin), jnp.float32)
-    d, _ = _demod_coef(w, s, demodulate)
-
-    kpix = _compose_kernel_fir(w.astype(jnp.float32), f, flip_weight, False,
-                               gain=4.0)
-    blk, blk_mask = _pack_upconv_kernel(kpix.astype(x.dtype), P, Q, p0)
-    # Skip branch: 1x1 kernel composed with the same FIR (L=4), packed
-    # with its OWN padding origin p0_sk = 0 + (fw+1)//2 (kh=1, vs conv0's
-    # kh=3); the window-slicing in the kernel is p0-independent, so both
-    # block sets ride the same launch. The linear activation's gain folds
-    # into the blocks.
-    kpix_sk = _compose_kernel_fir(w_skip.astype(jnp.float32), f, flip_weight,
-                                  False, gain=4.0) * skip_gain
-    p0_sk = _upconv_geometry(x.shape, w_skip.shape, f)[2]
-    blk_sk, mask_sk = _pack_upconv_kernel(kpix_sk.astype(x.dtype), P, Q,
-                                          p0_sk)
-    s_p = jnp.tile(s.astype(x.dtype), (1, P))
-    d_p = jnp.tile(d, (1, Q))
-    noise_p = None
-    if noise is not None:
-        h_out = noise.shape[-2]
-        if noise.ndim == 3:
-            noise_p = jnp.broadcast_to(
-                noise.reshape(n, h_out, wg, Q, 1), (n, h_out, wg, Q, cout)
-            ).reshape(n, h_out, wg, Q * cout).astype(x.dtype)
-        else:
-            noise_p = jnp.broadcast_to(
-                noise.reshape(h_out, wg, Q, 1), (h_out, wg, Q, cout)
-            ).reshape(h_out, wg, Q * cout).astype(x.dtype)
-    bias_p = jnp.tile(bias.astype(jnp.float32), Q) if bias is not None else None
-    y, ysk = _packed_upconv_pallas(x, blk, s_p, d_p, noise_p, bias_p, gain,
-                                   alpha, masks=blk_mask, skip_blk=blk_sk,
-                                   skip_masks=mask_sk)
-    return y, ysk, d, kpix, kpix_sk
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def fused_packed_upconv2_resnet(x, w, styles, w_skip, f, noise, bias,
-                                gain, alpha, demodulate, flip_weight,
-                                skip_gain):
-    """Lane-packed resnet-block forward: returns (conv0_out, skip_out),
-    both [N, 2H, G, 128]. conv0 = fused_packed_upconv2(x, w, styles, ...)
-    exactly; skip_out = skip_gain * upconv2(x, w_skip) (unmodulated, no
-    noise/bias/act — the resnet skip 1x1, reference networks.py:1150-1153)
-    computed in the same launch."""
-    y, ysk, _, _, _ = _packed_upconv_resnet_fwd_impl(
-        x, w, styles, w_skip, f, noise, bias, gain, alpha, demodulate,
-        flip_weight, skip_gain)
-    return y, ysk
-
-
-def _packed_upconv_resnet_fwd(x, w, styles, w_skip, f, noise, bias,
-                              gain, alpha, demodulate, flip_weight,
-                              skip_gain):
-    styles_v = None if styles is None else styles.value
-    noise_v = None if noise is None else noise.value
-    bias_v = None if bias is None else bias.value
-    # Conv0 flag order matches _packed_upconv_fwd: (w, noise, bias,
-    # styles, x); the skip weight's flag rides at the end.
-    flags = (_tok(w.perturbed),
-             _tok(noise is not None and noise.perturbed),
-             _tok(bias is not None and bias.perturbed),
-             _tok(styles is not None and styles.perturbed),
-             _tok(x.perturbed),
-             _tok(w_skip.perturbed))
-    from morphganformer_tpu.ops.second_order import packed_second_order
-    if packed_second_order():
-        # Second-order route: the two branches run their own so wrappers
-        # (grad-of-grad rides XLA refs; see ops/second_order.py).
-        from morphganformer_tpu.ops import second_order as so
-        y = so.upconv_apply_so(x.value, w.value, styles_v, f.value, noise_v,
-                               bias_v, gain, alpha, demodulate, flip_weight)
-        ysk = so.upconv_apply_so(x.value, w_skip.value, None, f.value, None,
-                                 None, skip_gain, 1.0, False, flip_weight)
-        return (y, ysk), (x.value, w.value, styles_v, w_skip.value, f.value,
-                          noise_v, bias_v, None, None, None, None, flags)
-    y, ysk, d, kpix, kpix_sk = _packed_upconv_resnet_fwd_impl(
-        x.value, w.value, styles_v, w_skip.value, f.value, noise_v, bias_v,
-        gain, alpha, demodulate, flip_weight, skip_gain)
-    return (y, ysk), (x.value, w.value, styles_v, w_skip.value, f.value,
-                      noise_v, bias_v, y, d, kpix, kpix_sk, flags)
-
-
-def _packed_upconv_resnet_bwd(gain, alpha, demodulate, flip_weight,
-                              skip_gain, res, gs):
-    from jax.custom_derivatives import SymbolicZero
-
-    (x, w, styles, w_skip, f, noise, bias, y, d, kpix, kpix_sk,
-     flags) = res
-    g0, gsk = gs
-    g0_zero = isinstance(g0, SymbolicZero)
-    gsk_zero = isinstance(gsk, SymbolicZero)
-    wsk_p = flags[5] is not None
-    x_p = flags[4] is not None
-    n, h_in, wg, lanes = x.shape
-    cin, cout = w.shape[2], w.shape[3]
-    P, Q, p0 = _upconv_geometry(x.shape, w.shape, f)
-    f32 = jnp.float32
-
-    from morphganformer_tpu.ops.second_order import packed_second_order
-    if packed_second_order():
-        from morphganformer_tpu.ops import second_order as so
-        zero_out = jnp.zeros((n, 2 * h_in, wg, lanes), x.dtype)
-        dx0, dw, ds, df, dnoise, dbias = so.upconv_bwd_so(
-            x, w, styles, f, noise, bias,
-            zero_out if g0_zero else g0, gain, alpha, demodulate,
-            flip_weight)
-        dxsk, dwsk, _, _, _, _ = so.upconv_bwd_so(
-            x, w_skip, None, f, None, None,
-            zero_out if gsk_zero else gsk, skip_gain, 1.0, False,
-            flip_weight)
-        return (dx0 + dxsk, dw, ds, dwsk, df, dnoise, dbias)
-
-    # Conv0 cotangents: the existing single-op backward, verbatim.
-    if g0_zero:
-        dx0 = jnp.zeros_like(x)
-        dw = jnp.zeros_like(w)
-        ds = None if styles is None else jnp.zeros_like(styles)
-        df = jnp.zeros_like(f)
-        dnoise = None if noise is None else jnp.zeros_like(noise)
-        dbias = None if bias is None else jnp.zeros_like(bias)
-    else:
-        res0 = (x, w, styles, f, noise, bias, y, d, kpix, flags[:5])
-        dx0, dw, ds, df, dnoise, dbias = _packed_upconv_bwd_impl(
-            gain, alpha, demodulate, flip_weight, res0, g0)
-
-    # Skip cotangents: dx via the exact packed adjoint (one down-conv
-    # launch — fused into conv0's adjoint stream is a further step, see
-    # ROADMAP); dw_skip via the XLA vjp of the unpacked composition
-    # (training only; the projection path never perturbs weights).
-    dx = dx0
-    if x_p and not gsk_zero:
-        p0_sk = _upconv_geometry(x.shape, w_skip.shape, f)[2]
-        kdown_sk, kdmask_sk = _pack_downconv_kernel(
-            kpix_sk.astype(gsk.dtype), P, Q, p0_sk)
-        dxsk = _packed_downconv_pallas(gsk, kdown_sk, mask=kdmask_sk)
-        dx = dx + dxsk.astype(x.dtype)
-    dwsk = jnp.zeros_like(w_skip)
-    if wsk_p and not gsk_zero:
-        from morphganformer_tpu.ops.modulated_conv import modulated_conv2d
-        x_unp = x.reshape(n, h_in, wg, P, cin).reshape(n, h_in, wg * P, cin)
-        gsk_unp = gsk.astype(f32).reshape(n, 2 * h_in, wg, Q, cout).reshape(
-            n, 2 * h_in, wg * Q, cout)
-
-        def conv_of_wsk(w_):
-            return skip_gain * modulated_conv2d(
-                x_unp, w_.astype(x.dtype), styles=None, up=2,
-                padding=w_skip.shape[0] // 2, resample_kernel=f,
-                modulate=False, flip_weight=flip_weight).astype(f32)
-
-        dwsk = jax.vjp(conv_of_wsk, w_skip.astype(f32))[1](
-            gsk_unp)[0].astype(w_skip.dtype)
-
-    return (dx, dw, ds, dwsk, df, dnoise, dbias)
-
-
-fused_packed_upconv2_resnet.defvjp(_packed_upconv_resnet_fwd,
-                                   _packed_upconv_resnet_bwd,
-                                   symbolic_zeros=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2222,24 +1963,11 @@ fused_packed_upconv2_resnet.defvjp(_packed_upconv_resnet_fwd,
 # separate XLA epilogue pass. Replaces the reference's upfirdn2d.cu path
 # (upfirdn2d.cu:90 small-kernel specializations) for the b256 block.
 #
-# The original CHANNEL-SPLIT scheme (four quarter kernels
-# w[ih*128:(ih+1)*128, oh*64:(oh+1)*64] accumulated per output half +
-# lane merge + XLA epilogue) is kept as _upconv_c256_split behind
-# MGT_C256_SPLIT=1 for A/B measurement.
+# (An earlier CHANNEL-SPLIT scheme — four quarter kernels accumulated per
+# output half + lane merge + XLA epilogue — lost its on-chip A/B to this
+# path by 1.28x fwd+bwd and was removed in round 4; ROADMAP.md keeps the
+# measurement record.)
 # ---------------------------------------------------------------------------
-
-
-def _merge_half_outputs(y0, y1):
-    """Merge two half-channel packed up-conv outputs into NHWC.
-
-    Each half: [N, H, G, 128] with group g = pixels (2g, 2g+1) x 64
-    channels of its half (lane = q*64 + c). Output: [N, H, 2G, 128] with
-    group p = pixel p, lane = h*64 + c — i.e. standard NHWC with C=128."""
-    n, h, g, lanes = y0.shape
-    y = jnp.stack([y0, y1], axis=3)                 # [N,H,G,2(h),128]
-    y = y.reshape(n, h, g, 2, 2, 64)                # [...,h,q,c]
-    y = y.transpose(0, 1, 2, 4, 3, 5)               # [...,q,h,c]
-    return y.reshape(n, h, 2 * g, 128)
 
 
 def fused_packed_upconv2_c256(x, w, styles, f, noise, bias, gain, alpha,
@@ -2254,58 +1982,13 @@ def fused_packed_upconv2_c256(x, w, styles, f, noise, bias, gain, alpha,
 
     Native wide-lane path (see the section comment above): pixel NHWC is
     already the P=1 packed form at 256 lanes, so this is one
-    fused_packed_upconv2 launch plus a free reshape. MGT_C256_SPLIT=1
-    selects the legacy channel-split scheme for A/B."""
-    import os
-
+    fused_packed_upconv2 launch plus a free reshape."""
     n, h, width, cin = x.shape
     kh, kw, wc, cout = w.shape
     assert cin == 256 and wc == 256 and cout == 128, (x.shape, w.shape)
-    if os.environ.get("MGT_C256_SPLIT", "0") != "1":
-        y = fused_packed_upconv2(x, w, styles, f, noise, bias, gain, alpha,
-                                 demodulate, flip_weight)
-        return y.reshape(n, 2 * h, 2 * width, 128)
-    return _upconv_c256_split(x, w, styles, f, noise, bias, gain, alpha,
-                              demodulate, flip_weight)
-
-
-def _upconv_c256_split(x, w, styles, f, noise, bias, gain, alpha,
-                       demodulate, flip_weight):
-    """Legacy channel-split b256 scheme: four quarter (Cin=128, Cout=64)
-    packed up-convs accumulated per output half, one lane merge, XLA
-    epilogue. Kept for A/B against the native wide-lane path."""
-    n, h, width, cin = x.shape
-    kh, kw, wc, cout = w.shape
-    s = styles if styles is not None else jnp.ones((n, cin), jnp.float32)
-    d, _ = _demod_coef(w, s, demodulate)
-
-    halves = []
-    for oh in range(2):
-        acc = None
-        for ih in range(2):
-            x_h = x[..., ih * 128:(ih + 1) * 128]   # [N,H,W,128] = packed P=1
-            w_q = w[:, :, ih * 128:(ih + 1) * 128, oh * 64:(oh + 1) * 64]
-            s_h = None if styles is None else styles[:, ih * 128:(ih + 1) * 128]
-            part = fused_packed_upconv2(x_h, w_q, s_h, f, None, None,
-                                        1.0, 1.0, False, flip_weight)
-            acc = part if acc is None else acc + part
-        halves.append(acc)
-    y = _merge_half_outputs(halves[0], halves[1])   # [N, 2H, 2W, 128] linear
-
-    # Epilogue — one fused XLA elementwise pass over the merged tensor.
-    y32 = y.astype(jnp.float32)
-    if demodulate:
-        y32 = y32 * d[:, None, None, :]
-    if noise is not None:
-        nz = noise.astype(jnp.float32)
-        y32 = y32 + (nz[..., None] if nz.ndim == 3 else nz[None, :, :, None])
-    if bias is not None:
-        y32 = y32 + bias.astype(jnp.float32)[None, None, None, :]
-    if alpha != 1.0:
-        y32 = jnp.where(y32 >= 0, y32, y32 * alpha)
-    if gain != 1.0:
-        y32 = y32 * gain
-    return y32.astype(x.dtype)
+    y = fused_packed_upconv2(x, w, styles, f, noise, bias, gain, alpha,
+                             demodulate, flip_weight)
+    return y.reshape(n, 2 * h, 2 * width, 128)
 
 
 # ---------------------------------------------------------------------------

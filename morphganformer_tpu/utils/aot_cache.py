@@ -57,6 +57,22 @@ def _backend_meta():
     }
 
 
+def _executable_device_count(compiled) -> int:
+    """Number of devices the executable was compiled for (1 for plain jit).
+    deserialize_and_load defaults execution_devices to ALL backend devices,
+    which rejects a 1-device executable on a multi-device backend (e.g. the
+    8-virtual-CPU test mesh) — so the count is recorded at save time."""
+    for probe in (
+        lambda c: len(c._executable.xla_executable.local_devices()),
+        lambda c: len(c._executable._device_assignment),
+    ):
+        try:
+            return int(probe(compiled))
+        except Exception:
+            continue
+    return 1
+
+
 def save(directory: str, name: str, compiled) -> str:
     """Serialize a jax.stages.Compiled to `<directory>/<name>.aot.gz`."""
     from jax.experimental import serialize_executable as se
@@ -65,6 +81,7 @@ def save(directory: str, name: str, compiled) -> str:
     payload, in_tree, out_tree = se.serialize(compiled)
     raw = pickle.dumps((payload, in_tree, out_tree),
                        protocol=pickle.HIGHEST_PROTOCOL)
+    num_devices = _executable_device_count(compiled)
     blob = gzip.compress(raw, compresslevel=6)
     path = _blob_path(directory, name)
     tmp = path + ".tmp"
@@ -73,7 +90,8 @@ def save(directory: str, name: str, compiled) -> str:
     os.replace(tmp, path)
     meta = _backend_meta()
     meta.update({"name": name, "raw_bytes": len(raw),
-                 "blob_bytes": len(blob), "minted_unix": int(time.time())})
+                 "blob_bytes": len(blob), "minted_unix": int(time.time()),
+                 "num_devices": num_devices})
     with open(_meta_path(directory, name), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     _update_manifest(directory, name, meta)
@@ -123,9 +141,15 @@ def load(directory: str, name: str):
     if why != "ok":
         return None
     try:
+        import jax
+
+        with open(_meta_path(directory, name)) as f:
+            n_dev = json.load(f).get("num_devices", 1)
         with open(_blob_path(directory, name), "rb") as f:
             raw = gzip.decompress(f.read())
         payload, in_tree, out_tree = pickle.loads(raw)
-        return se.deserialize_and_load(payload, in_tree, out_tree)
+        return se.deserialize_and_load(
+            payload, in_tree, out_tree,
+            execution_devices=jax.devices()[:n_dev])
     except Exception:
         return None

@@ -285,3 +285,43 @@ def test_make_video_gif_and_list(tmp_path):
     lst.write_text("\n".join(frames[:2]) + "\n")
     got = MV.collect_frames(list_file=str(lst))
     assert got == frames[:2]
+
+
+def test_morph_cli_batched_pairs_csv(ckpt_dir, tmp_path):
+    """CSV-driven multi-pair morphing as ONE batch-2P projection scan
+    (cli/morph.py --pairs-per-batch; reference drives pairs sequentially,
+    projection_example_v2_percept_morph.py:339-365). Contract: the
+    similarity filter drops low-similarity rows; every surviving pair gets
+    rec PNGs + mats + a morph PNG/mat."""
+    import cli.generate as G
+    import cli.morph as M
+
+    gen_dir = str(tmp_path / "gen")
+    G.run(ckpt_dir, gen_dir, images_num=4, truncation_psi=0.7, ratio=1.0,
+          batch_size=4)
+    imgs = sorted(glob.glob(os.path.join(gen_dir, "sample_*.png")))
+    csv_path = str(tmp_path / "pairs.csv")
+    with open(csv_path, "w") as f:
+        f.write("img_a,img_b,similarity\n")
+        f.write(f"{imgs[0]},{imgs[1]},0.9\n")
+        f.write(f"{imgs[2]},{imgs[3]},0.7\n")
+        f.write(f"{imgs[0]},{imgs[2]},0.2\n")      # below threshold: dropped
+
+    out = str(tmp_path / "morphs")
+    argv = sys.argv
+    sys.argv = ["morph.py", "--model", ckpt_dir, "--pairs-csv", csv_path,
+                "--out", out, "--step", "8", "--chunk", "8",
+                "--n_mean_latent", "64", "--pairs-per-batch", "2",
+                "--dtype", "float32"]
+    try:
+        M.main()
+    finally:
+        sys.argv = argv
+
+    files = set(os.listdir(out))
+    for a, b in [("sample_000000", "sample_000001"),
+                 ("sample_000002", "sample_000003")]:
+        assert {f"{a}_rec.png", f"{b}_rec.png", f"{a}.mat", f"{b}.mat",
+                f"{a}_{b}_morph.png", f"{a}_{b}_morph.mat"} <= files
+    # The dropped pair produced no morph artifact.
+    assert "sample_000000_sample_000002_morph.png" not in files

@@ -204,19 +204,15 @@ def split_model_and_vars():
     return cfg, model, variables
 
 
-@pytest.mark.parametrize("c256_split", ["0", "1"],
-                         ids=["wide-lane", "channel-split"])
 def test_split256_generator_matches_unpacked(force_packed, monkeypatch,
-                                             split_model_and_vars,
-                                             c256_split):
+                                             split_model_and_vars):
     """b256 packed path (Cin 256 > 128 lanes): forward parity with the
-    unpacked model through conv0/skip, packed conv1, conv_last and torgb.
-    Runs both the native wide-lane launch (default) and the legacy
-    channel-split A/B scheme (MGT_C256_SPLIT=1)."""
+    unpacked model through conv0/skip, packed conv1, conv_last and torgb
+    via the native wide-lane launch (the channel-split A/B scheme lost its
+    on-chip measurement and was removed in round 4)."""
     cfg, model, variables = split_model_and_vars
     z = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.k, cfg.z_dim))
 
-    monkeypatch.setenv("MGT_C256_SPLIT", c256_split)
     monkeypatch.setenv("MGT_PACKED_SYNTH", "0")
     ref = model.apply(variables, z, truncation_psi=0.7, noise_mode="const")
 
