@@ -54,7 +54,14 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 AOT_DIR = os.path.join(_REPO, ".bench_aot")
 _T_START = time.monotonic()
-_DEADLINE = float(os.environ.get("MGT_BENCH_DEADLINE", "540"))
+# Default sized from the measured fresh-process all-anchor run (ROADMAP
+# round 4): headline via AOT at +80s, all four anchors by ~+630s, ~400s
+# of phase teardown tail, rc=0 at +1034s on a quiet box. A contended box
+# can add ~200-300s to a big executable's first call (device-side program
+# load over the relay), so the budget carries margin; the headline always
+# lands first and later anchors are dropped, not risked, when the budget
+# runs out.
+_DEADLINE = float(os.environ.get("MGT_BENCH_DEADLINE", "1080"))
 _ALLOW_COMPILE = os.environ.get("MGT_BENCH_ALLOW_COMPILE") == "1"
 _SAVE_AOT = os.environ.get("MGT_BENCH_SAVE_AOT") == "1"
 
@@ -491,8 +498,12 @@ def _run_phase(phase, timeout):
 
 def main():
     headline = None
-    # 1. Packed headline from the committed AOT executable store.
-    t = None if _ALLOW_COMPILE else min(330.0, max(120.0, _budget() - 120.0))
+    # 1. Packed headline from the committed AOT executable store. The
+    # timeout must cover the ~300s first-call program load of the
+    # deserialized scan (measured on-chip, round 4) plus init + 3 timed
+    # runs; a version-gated miss exits in seconds, so a long timeout only
+    # costs budget in the rare load-then-hang case.
+    t = None if _ALLOW_COMPILE else min(560.0, max(120.0, _budget() - 150.0))
     for obj in _run_phase("headline-aot", timeout=t):
         if obj.get("metric") == "projection_1024_steps_per_sec":
             headline = obj

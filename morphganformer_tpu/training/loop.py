@@ -42,8 +42,8 @@ class LoopConfig:
     run_dir: str = "results/exp"
     total_kimg: float = 25000
     kimg_per_tick: float = 4
-    snapshot_ticks: int = 50
-    img_snapshot_ticks: int = 50
+    snapshot_ticks: int = 50          # <= 0 disables snapshots
+    img_snapshot_ticks: int = 50      # <= 0 disables image snapshots/vis
     last_snapshots: int = 10          # retention GC (training_loop.py:129-130)
     eval_metrics: tuple = ()          # computed at snapshot ticks (:227-236)
     eval_images_num: int = 50000
@@ -331,9 +331,13 @@ def training_loop(g_cfg: GANformerConfig, d_cfg: DiscriminatorConfig,
                        "Timing/total_sec": now - start_time})
             collector.reset()
             tick_start = now
-            if jax.process_index() == 0 and tick % l_cfg.img_snapshot_ticks == 0:
+            # A tick interval <= 0 disables that product entirely
+            # (mirrors the reference's None intervals, training_loop.py
+            # :430-438).
+            if (jax.process_index() == 0 and l_cfg.img_snapshot_ticks > 0
+                    and tick % l_cfg.img_snapshot_ticks == 0):
                 save_visualizations()
-            if tick % l_cfg.snapshot_ticks == 0:
+            if l_cfg.snapshot_ticks > 0 and tick % l_cfg.snapshot_ticks == 0:
                 # All processes enter (Orbax saves are collective); only
                 # process 0 writes the msgpack/arch/eval products.
                 snap = maybe_snapshot()

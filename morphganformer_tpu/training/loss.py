@@ -17,6 +17,7 @@ Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -148,12 +149,33 @@ def g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
         return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
 
 
+def _reg_remat(fn, env_var):
+    """Optional jax.checkpoint around a reg-stage inner forward, selected
+    at trace time by env (A/B harness: tools/profile_train.py --stages with
+    MGT_PL_REMAT / MGT_R1_REMAT set). XLA's own rematerialization already
+    schedules the force_unpacked grad-of-grad well (round-3 measurements);
+    an explicit policy can shift the recompute/memory trade — unset means
+    byte-identical traces to round 3."""
+    import os
+
+    policy_name = os.environ.get(env_var, "")
+    if not policy_name:
+        return fn
+    policies = {
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_nobatch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    return jax.checkpoint(fn, policy=policies[policy_name])
+
+
 def _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
     batch = max(z.shape[0] // cfg.pl_batch_shrink, 1)
     z = z[:batch]
     c = c[:batch] if c is not None else None
     rng_g, rng_noise = jax.random.split(rng)
 
+    @functools.partial(_reg_remat, env_var="MGT_PL_REMAT")
     def img_from_ws(ws, rngs):
         from morphganformer_tpu.models.generator import Generator
         img, _ = model.apply(g_vars, ws, train=True, rngs=rngs,
@@ -214,6 +236,7 @@ def d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
 
 
 def _d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
+    @functools.partial(_reg_remat, env_var="MGT_R1_REMAT")
     def logit_sum(img):
         return jnp.sum(d_model.apply(d_vars, img, c))
 

@@ -90,6 +90,7 @@ def test_modconv_second_order_matches_ref(so_gate):
     _check_second_order(packed, ref, x, (w, s), seed=5)
 
 
+@pytest.mark.slow
 def test_modconv_second_order_packed_io_resid(so_gate):
     n, h, wdt, c = 1, 8, 16, 8
     pack = 128 // c
@@ -125,6 +126,7 @@ def test_upconv_second_order_matches_ref(so_gate):
     _check_second_order(packed, ref, x, (w, s), seed=7)
 
 
+@pytest.mark.slow
 def test_upconv_skip_k1_second_order_matches_ref(so_gate):
     """The unmodulated 1x1 skip branch (Conv2dLayer packed up=2): k=1 +
     4-tap FIR => L=4/p0=2 tap path. This config produced the round-3
@@ -164,6 +166,7 @@ def test_dconv_second_order_matches_ref(so_gate):
     _check_second_order(packed, ref, x, (w,), seed=8)
 
 
+@pytest.mark.slow
 def test_scope_routes_without_env(monkeypatch):
     """second_order_scope() routes the packed VJPs per-trace with the
     env unset — the shape training/loss.py's reg stages use so the
@@ -214,6 +217,7 @@ def test_reg_stage_policy_tristate(monkeypatch):
                 == so._DEFAULT_REG_SECOND_ORDER[stage])
 
 
+@pytest.mark.slow
 def test_gate_on_first_order_unchanged(so_gate):
     """The routed path must leave FIRST-order values/grads identical to
     the ungated packed path (same launches, same numbers)."""

@@ -9,7 +9,11 @@ requires_8 = pytest.mark.skipif(jax.device_count() < 8,
 
 
 @requires_8
+@pytest.mark.slow
 def test_dryrun_train_step_8_devices():
+    # slow: ~5 min of 8-device SPMD train-step compilation on a cold
+    # cache, and the round driver executes this exact path every round
+    # anyway (dryrun_multichip -> MULTICHIP_r*.json).
     from morphganformer_tpu.training.train_step import dryrun_train_step
     dryrun_train_step(8)
 
@@ -202,7 +206,11 @@ print(f"RENDEZVOUS-OK p{{pid}} main={{is_main_process()}}")
 
 
 @requires_8
+@pytest.mark.slow
 def test_model_parallel_grads_match_replicated():
+    # slow: second-heaviest 8-device compile in the default suite; TP is
+    # this framework's opt-in extension (the reference is DP-only) and
+    # test_model_parallel_train_iteration covers the composed path.
     """('data','model') tensor-parallel sharding is annotation-only: loss
     and parameter gradients under output-channel sharding (parallel/tp.py)
     must match the replicated computation. Compared at the gradient level

@@ -121,13 +121,30 @@ def test_training_loop_ticks_snapshots_resume(data_dir, loop_run):
     assert nimg2 > nimg1
 
 
-def test_snapshot_loads_as_generator_checkpoint(data_dir, loop_run):
+@pytest.fixture(scope="module")
+def minimal_snapshot_dir(data_dir, tmp_path_factory):
+    """Cheapest loop run that writes a snapshot: 1 tick, no eval, no vis.
+    The default suite's only loop cost (the full 2-tick eval+vis run in
+    `loop_run` is slow-marked; its setup alone was ~4 min of compiles on a
+    cold cache)."""
+    g_cfg, d_cfg, t_cfg = _cfgs()
+    run_dir = str(tmp_path_factory.mktemp("minsnap") / "run")
+    l_cfg = LoopConfig(run_dir=run_dir, total_kimg=1, kimg_per_tick=0.02,
+                       snapshot_ticks=1, img_snapshot_ticks=0,
+                       last_snapshots=1, eval_metrics=(), vis=())
+    training_loop(g_cfg, d_cfg, t_cfg, l_cfg, data_dir,
+                  resume=None, use_mesh=False, max_ticks=1)
+    return run_dir
+
+
+def test_snapshot_loads_as_generator_checkpoint(data_dir,
+                                                minimal_snapshot_dir):
     import jax
     import jax.numpy as jnp
 
     from morphganformer_tpu.checkpoint.io import load_generator
 
-    run_dir, _, _ = loop_run
+    run_dir = minimal_snapshot_dir
     snap = sorted(glob.glob(os.path.join(run_dir, "network-snapshot-*")))[-1]
     cfg, model, variables = load_generator(snap, role="Gs")
     z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.k, cfg.z_dim))

@@ -87,17 +87,21 @@ def main():
 
     if args.verify:
         # Exactly the driver's conditions: no special env, default deadline.
+        # Pass bar: rc=0, the headline is the non-provisional AOT number,
+        # every anchor emitted, and the wall fits the default bench
+        # deadline (the headline itself lands in the first ~2-7 min;
+        # the tail is secondary-anchor loads + teardown).
         rc, dt, lines = run_bench("verify", {})
         objs = [json.loads(l) for l in lines]
         heads = [o for o in objs
                  if o.get("metric") == "projection_1024_steps_per_sec"]
+        missing = ALL_METRICS - {o.get("metric") for o in objs}
         ok = (rc == 0 and heads
               and heads[-1].get("detail", {}).get("exec_source") == "aot"
               and not heads[-1].get("detail", {}).get("provisional")
-              and dt < 420)
-        missing = ALL_METRICS - {o.get("metric") for o in objs}
+              and not missing and dt < 1200)
         print(f"verify {'OK' if ok else 'FAILED'}: wall {dt:.0f}s "
-              f"(target < 420s); anchors missing from this run: "
+              f"(target < 1200s); anchors missing from this run: "
               f"{sorted(missing) or 'none'}")
         if ok:
             _write_fingerprint()
