@@ -147,6 +147,8 @@ def test_iresnet_embedding_and_identity_loss():
     np.testing.assert_allclose(np.asarray(sim), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow  # heaviest tower compile in the default suite (~60s cold);
+# the iresnet/lpips/mdf tower tests keep converter-shape coverage by default
 def test_facenet_architecture():
     from morphganformer_tpu.losses.facenet import (
         facenet_embed, make_facenet_loss, random_facenet_params)

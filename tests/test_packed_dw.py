@@ -124,6 +124,7 @@ def test_upconv_dw_matches_unpacked(per_sample_noise):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # interpret-mode shape variant: 1x1-skip variant of the upconv adjoint covered above
 def test_upconv_dw_unmodulated_1x1_skip():
     """The resnet-skip 1x1-up (styles=None, no demod, L=4: half the
     packed blocks structurally zero — exercises the dw_mask skip)."""
@@ -157,6 +158,7 @@ def test_upconv_dw_unmodulated_1x1_skip():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # interpret-mode shape variant: b256 wide-lane variant of the adjoint covered by the default shapes
 def test_upconv_dw_wide_lane_c256_shape():
     """The b256 wide-lane geometry (P=1, Q=2, 256 lanes) at miniature
     spatial size: cin = 2*128 lanes in one group."""
@@ -234,6 +236,7 @@ def test_dconv_dw_matches_unpacked():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # interpret-mode shape variant: resid/FIR-none variant of the dconv adjoint covered above
 def test_dconv_dw_with_resid_and_fir_none():
     """dconv dw through the resnet-skip epilogue (resid added in-kernel)
     and with f=None (no FIR composition in the fold-back chain)."""
