@@ -149,17 +149,27 @@ def g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
         return _g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg)
 
 
+# Per-stage jax.checkpoint defaults for the reg stages' inner forwards,
+# set by the round-4 on-chip sweep (tools/profile_reg.py, 1024^2 batch 4
+# bf16, one process per config):
+#   PL:  no-remat 350.8 ms | dots 324.0 (-7.6%) | dots_nobatch 405.5 |
+#        nothing 396.1  -> default "dots" (save dot products, recompute
+#        elementwise: the grad-of-grad's second forward pass reuses the
+#        conv outputs instead of re-running them).
+#   R1:  no-remat 496.9 ms | dots_nobatch and nothing both OOM HBM by
+#        ~163 MB at compile  -> default off (XLA's own rematerialization
+#        of the reverse-over-reverse D trace is already memory-optimal).
+_DEFAULT_REG_REMAT = {"MGT_PL_REMAT": "dots", "MGT_R1_REMAT": ""}
+
+
 def _reg_remat(fn, env_var):
-    """Optional jax.checkpoint around a reg-stage inner forward, selected
-    at trace time by env (A/B harness: tools/profile_train.py --stages with
-    MGT_PL_REMAT / MGT_R1_REMAT set). XLA's own rematerialization already
-    schedules the force_unpacked grad-of-grad well (round-3 measurements);
-    an explicit policy can shift the recompute/memory trade — unset means
-    byte-identical traces to round 3."""
+    """jax.checkpoint around a reg-stage inner forward. Policy picked at
+    trace time: env overrides (A/B harness — "off" forces no remat, a
+    policy name forces that policy), else _DEFAULT_REG_REMAT."""
     import os
 
-    policy_name = os.environ.get(env_var, "")
-    if not policy_name:
+    policy_name = os.environ.get(env_var) or _DEFAULT_REG_REMAT[env_var]
+    if not policy_name or policy_name == "off":
         return fn
     policies = {
         "nothing": jax.checkpoint_policies.nothing_saveable,

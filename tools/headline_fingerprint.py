@@ -68,6 +68,64 @@ def _headline_pieces():
     return model, variables, pcfg, loss_fn, target, latent, carry
 
 
+def _train_stage_sha():
+    """sha over the canonicalized IR of the five train-stage programs at
+    the production config (1024^2 batch 4 bf16), with the packed gate
+    forced to its structural predicate — so edits to the training losses,
+    remat policies, or packed kernels invalidate the train_* AOT blobs
+    visibly (round 4: the headline hash alone cannot see a stale
+    train_g_reg). Tracing only — nothing compiles or executes."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    from jax._src import cache_key as ck
+
+    import morphganformer_tpu.models.synthesis as S
+    from morphganformer_tpu.models import ffhq1024_config
+    from morphganformer_tpu.models.config import DiscriminatorConfig
+    from morphganformer_tpu.training.train_step import GANTrainer, TrainConfig
+
+    g_cfg = dc.replace(ffhq1024_config(), dtype="bfloat16")
+    d_cfg = DiscriminatorConfig(img_resolution=1024, dtype="bfloat16")
+    trainer = GANTrainer(g_cfg, d_cfg, TrainConfig(batch_size=4, batch_gpu=4))
+
+    state = jax.eval_shape(lambda: trainer.init_state(seed=0))
+    n_acc = trainer.n_accum if 4 % trainer.n_accum == 0 else 1
+    micro = 4 // n_acc
+    z = jax.ShapeDtypeStruct((n_acc, micro, g_cfg.k, g_cfg.z_dim),
+                             jnp.float32)
+    real = jax.ShapeDtypeStruct((n_acc, micro, 1024, 1024, 3), jnp.bfloat16)
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    lowers = [
+        lambda: GANTrainer.g_main_step.lower(trainer, state, z, None, rng),
+        lambda: GANTrainer.g_reg_step.lower(trainer, state, z, None, rng),
+        lambda: GANTrainer.d_main_step.lower(trainer, state, real, z, None,
+                                             rng),
+        lambda: GANTrainer.d_reg_step.lower(trainer, state, real, None),
+        lambda: GANTrainer.ema_step.lower(trainer, state),
+    ]
+    from morphganformer_tpu.ops.packed_override import packed_paths_disabled
+
+    orig = S.packed_block_eligible
+    # Force the structural predicate but KEEP the force_unpacked guard:
+    # the PL/R1 stages trace their grad-of-grad under force_unpacked, and
+    # a bare pallas_call in that trace has no JVP rule.
+    S.packed_block_eligible = \
+        lambda cfg_, res, nm: (not packed_paths_disabled()
+                               and S.packed_structural_ok(cfg_, res, nm))
+    try:
+        h = hashlib.sha256()
+        for lower in lowers:
+            ir = ck._canonicalize_ir(lower()._lowering.stablehlo(),
+                                     ck.IgnoreCallbacks.NO)
+            h.update(ir)
+    finally:
+        S.packed_block_eligible = orig
+    return h.hexdigest()
+
+
 def compute_fingerprint():
     import jax
     import jax.numpy as jnp
@@ -99,6 +157,7 @@ def compute_fingerprint():
         S.packed_block_eligible = orig
 
     return {"xla_ir_sha": xla_sha, "packed_jaxpr_sha": packed_sha,
+            "train_stage_sha": _train_stage_sha(),
             "jax_version": jax.__version__}
 
 
