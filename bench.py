@@ -349,6 +349,19 @@ def phase_secondary():
     except AotMiss as e:
         _log(str(e))
 
+    # --- batched morph product: 4 pairs as ONE batch-8 scan (the
+    # cli/morph.py --pairs-per-batch default). Scan steps/s at batch 8;
+    # pairs-per-hour for the full 1000-step projection of 4 pairs =
+    # rate * 4 * 3600 / 1000.
+    try:
+        rate, _, how = _time_projection("headline_b8", 8, 250, timed_runs=2)
+        _emit({"metric": "morph_batch4_scan_steps_per_sec",
+               "value": round(rate, 2), "unit": "steps/s",
+               "detail": {"pairs_per_hour_1000step": round(
+                   rate * 4 * 3.6, 1)}})
+    except AotMiss as e:
+        _log(str(e))
+
 
 def _train_phase_impl():
     """Training anchor (VERDICT r3 #3): amortized 1024^2 batch-4 train-step
@@ -535,6 +548,9 @@ def main():
                 headline["detail"]["gen_1024_imgs_per_sec"] = obj["value"]
             elif obj.get("metric") == "morph_pair_projection_steps_per_sec":
                 headline["detail"]["morph_pair_steps_per_sec"] = obj["value"]
+            elif obj.get("metric") == "morph_batch4_scan_steps_per_sec":
+                headline["detail"]["morph_batch4_scan_steps_per_sec"] = \
+                    obj["value"]
     else:
         _log(f"skipping secondary anchors ({_budget():.0f}s budget left)")
 

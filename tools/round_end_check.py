@@ -33,7 +33,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 AOT_DIR = os.path.join(REPO, ".bench_aot")
 REQUIRED = ["headline_b1"]
-WANTED = ["headline_b1", "headline_xla_b1", "headline_b2", "gen_b8",
+WANTED = ["headline_b1", "headline_xla_b1", "headline_b2",
+          "headline_b8", "gen_b8",
           "train_g_main", "train_g_reg", "train_d_main", "train_d_reg",
           "train_ema"]
 

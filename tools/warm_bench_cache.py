@@ -32,6 +32,7 @@ ALL_METRICS = {
     "projection_1024_steps_per_sec",
     "generation_1024_imgs_per_sec",
     "morph_pair_projection_steps_per_sec",
+    "morph_batch4_scan_steps_per_sec",
     "train_1024_imgs_per_sec",
 }
 
