@@ -52,7 +52,8 @@ import sys
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
-AOT_DIR = os.path.join(_REPO, ".bench_aot")
+AOT_DIR = os.environ.get("MGT_BENCH_AOT_DIR",
+                         os.path.join(_REPO, ".bench_aot"))
 _T_START = time.monotonic()
 # Default sized from the measured fresh-process all-anchor run (ROADMAP
 # round 4): headline via AOT at +80s, all four anchors by ~+630s, ~400s
