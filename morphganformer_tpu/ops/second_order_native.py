@@ -1,0 +1,264 @@
+"""Hand-derived second-order (VJP-of-the-backward) formulas for the fused
+modulated conv — executable groundwork for the in-kernel second-order
+route (ROADMAP round-4 'Round-5 recipe').
+
+Context: the packed pallas ops' reg-stage grad-of-grad currently rides
+XLA (PL 324 ms with the dots remat, R1 497 ms at 1024^2 batch 4) because
+every attempted re-routing — recompute wrappers, tap-form refs — lost its
+on-chip A/B (ops/second_order.py header). The genuinely better design is
+the reference's own bias_act pattern lifted to the fused conv: emit the
+second-order terms analytically, with the lrelu mask treated as locally
+constant (zero second derivative a.e. — exactly what autodiff of
+`where(u>=0, u, a*u)` also produces), so every x-sized term is one of
+the THREE existing packed launch geometries (forward conv, transpose
+conv, weight-grad taps) with swapped operands.
+
+This module validates that derivation numerically, in pixel space, with
+the conv primitives spelled as the linear ops the launches realize:
+
+  _conv(a, k)   = 3x3 same-padding correlation      (fused fwd launch,
+                  styles pre-applied, demod off, alpha=gain=1)
+  _convT(a, k)  = its transpose in `a`              (adjoint launch dx,
+                  alpha=gain=1 degenerates the mask to 1)
+  _wg(a, b)     = its transpose in `k`              (adjoint launch's
+                  in-kernel dw taps)
+
+`modconv_bwd_explicit` is the first-order backward written against these
+primitives (pinned against jax.vjp of the reference composition), and
+`modconv_bwd_vjp_explicit` is the hand-derived VJP of that backward
+(pinned against jax.vjp-of-jax.vjp). Everything that is NOT a primitive
+call operates on [N,Co] / [Ci,Co] / [3,3,Ci,Co]-sized tensors —
+negligible next to the conv launches.
+
+Mapping to pallas (round 5): replace each _conv/_convT/_wg call with the
+corresponding packed launch; fold the elementwise pre/post scalings into
+the launches' existing style/demod/epilogue slots; recover z and the
+mask from the saved y via the act-inverse identity the kernels already
+use. Reference anchor: bias_act.cu:44-58 (in-kernel 2nd-order grads).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def _conv(a, k):
+    """3x3 same-padding correlation (the launches' tap geometry; identical
+    to second_order.modconv_ref's _taps_conv3x3)."""
+    n, h, w, _ = a.shape
+    ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for i in range(3):
+        for j in range(3):
+            t = jnp.einsum("nhwc,co->nhwo", ap[:, i:i + h, j:j + w, :],
+                           k[i, j])
+            out = t if out is None else out + t
+    return out
+
+
+def _convT(a, k):
+    """Transpose of _conv in its first argument (dx of the adjoint launch
+    with alpha=gain=1)."""
+    zeros = jnp.zeros(a.shape[:3] + (k.shape[2],), a.dtype)
+    return jax.vjp(lambda x_: _conv(x_, k), zeros)[1](a)[0]
+
+
+def _wg(a, b):
+    """Transpose of _conv in its kernel argument: the weight-grad taps.
+    a: [N,H,W,Ci] (input side), b: [N,H,W,Co] (cotangent side)."""
+    zeros = jnp.zeros((3, 3, a.shape[-1], b.shape[-1]), a.dtype)
+    return jax.vjp(lambda k_: _conv(a, k_), zeros)[1](b)[0]
+
+
+def _mask(u, gain, alpha):
+    """act'(u) for y = gain * lrelu_alpha(u), a.e. (the second derivative
+    is zero a.e. — both here and under autodiff of jnp.where)."""
+    return jnp.where(u >= 0, gain, gain * alpha)
+
+
+def default_conv_ops():
+    """(conv, convT, wg) for the same-res 3x3 op."""
+    return _conv, _convT, _wg
+
+
+def upconv2_conv_ops():
+    """(conv, convT, wg) for the 2x-up conv (lhs-dilation 2 with a kxk
+    kernel — the geometry of fused_packed_upconv2's composed-FIR conv;
+    the exact FIR composition is a fixed linear map folded into k).
+    The derivation below is agnostic to WHICH linear conv these realize —
+    validating with this set proves the same DAG serves the up-2 op."""
+    def up(a, k):
+        # L=4 kernel, pad (2,2): out = (2H-1) + 4 - 4 + 1 = 2H exactly.
+        return jax.lax.conv_general_dilated(
+            a, k, window_strides=(1, 1),
+            padding=[(2, 2)] * 2, lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def upT(a, k):
+        zeros_shape = (a.shape[0], a.shape[1] // 2, a.shape[2] // 2,
+                       k.shape[2])
+        z = jnp.zeros(zeros_shape, a.dtype)
+        return jax.vjp(lambda x_: up(x_, k), z)[1](a)[0]
+
+    def upwg(a, b):
+        z = jnp.zeros((4, 4, a.shape[-1], b.shape[-1]), a.dtype)
+        return jax.vjp(lambda k_: up(a, k_), z)[1](b)[0]
+
+    return up, upT, upwg
+
+
+def _forward_pieces(x, w, s, noise, bias, gain, alpha, demodulate,
+                    conv_ops=None):
+    """Recompute the forward intermediates the backward consumes. (In the
+    launch mapping, z/u/m come from the saved y via the act-inverse
+    identity instead.)"""
+    conv, _, _ = conv_ops or default_conv_ops()
+    xs = x * s[:, None, None, :]
+    z = conv(xs, w)
+    if demodulate:
+        wsq = jnp.sum(jnp.square(w), axis=(0, 1))              # [Ci,Co]
+        q = jnp.square(s) @ wsq                                # [N,Co]
+        d = jax.lax.rsqrt(q + _EPS)
+    else:
+        wsq = None
+        d = jnp.ones((x.shape[0], w.shape[-1]), x.dtype)
+    u = z * d[:, None, None, :]
+    if noise is not None:
+        u = u + noise[..., None]
+    if bias is not None:
+        u = u + bias
+    m = _mask(u, gain, alpha)
+    return xs, z, wsq, d, u, m
+
+
+def modconv_fwd_explicit(x, w, s, noise, bias, gain, alpha, demodulate,
+                         conv_ops=None):
+    """y = gain * lrelu(conv(x*s, w)*d + noise + bias)."""
+    _, _, _, _, u, _ = _forward_pieces(x, w, s, noise, bias, gain, alpha,
+                                       demodulate, conv_ops)
+    return jnp.where(u >= 0, u, alpha * u) * gain
+
+
+def modconv_bwd_explicit(x, w, s, noise, bias, g, gain, alpha, demodulate,
+                         conv_ops=None):
+    """First-order backward, spelled against the launch primitives.
+    Returns (dx, dw, ds, dnoise, dbias)."""
+    conv, convT, wg = conv_ops or default_conv_ops()
+    xs, z, wsq, d, _, m = _forward_pieces(x, w, s, noise, bias, gain, alpha,
+                                          demodulate, conv_ops)
+    gu = g * m
+    dnoise = None if noise is None else jnp.sum(gu, axis=-1)
+    dbias = None if bias is None else jnp.sum(gu, axis=(0, 1, 2))
+    dz = gu * d[:, None, None, :]
+    dxs = convT(dz, w)
+    dx = dxs * s[:, None, None, :]
+    ds = jnp.sum(x * dxs, axis=(1, 2))
+    dw = wg(xs, dz)
+    if demodulate:
+        dd = jnp.sum(gu * z, axis=(1, 2))                      # [N,Co]
+        dq = -0.5 * d ** 3 * dd
+        ds = ds + 2.0 * s * (dq @ wsq.T)
+        dwsq = jnp.square(s).T @ dq                            # [Ci,Co]
+        dw = dw + 2.0 * w * dwsq[None, None]
+    return dx, dw, ds, dnoise, dbias
+
+
+def modconv_bwd_vjp_explicit(x, w, s, noise, bias, g, cots, gain, alpha,
+                             demodulate, conv_ops=None):
+    """Hand-derived VJP of modconv_bwd_explicit at output cotangents
+    `cots = (cdx, cdw, cds, cdnoise, cdbias)`; returns cotangents
+    (cx, cw, cs, cnoise, cbias, cg). The lrelu mask is locally constant,
+    matching autodiff exactly (a.e.).
+
+    Launch-shaped calls are marked [L#]; everything else is [N,Co],
+    [N,Ci], [Ci,Co] or [3,3,Ci,Co]-sized algebra."""
+    cdx, cdw, cds, cdn, cdb = cots
+    conv, convT, wg = conv_ops or default_conv_ops()
+    xs, z, wsq, d, _, m = _forward_pieces(x, w, s, noise, bias, gain, alpha,
+                                          demodulate, conv_ops)
+    sN = s[:, None, None, :]
+    dN = d[:, None, None, :]
+    gu = g * m
+    dz = gu * dN
+    dxs = convT(dz, w)                                        # [L0] primal
+
+    c_gu = jnp.zeros_like(gu)
+    c_dz = jnp.zeros_like(dz)
+    c_dxs = jnp.zeros_like(dxs)
+    c_z = jnp.zeros_like(z)
+    c_xs = jnp.zeros_like(xs)
+    c_x = jnp.zeros_like(x)
+    c_w = jnp.zeros_like(w)
+    c_s = jnp.zeros_like(s)
+    c_d = jnp.zeros_like(d)
+
+    # outputs -> immediate feeders
+    if cdb is not None:
+        c_gu = c_gu + cdb[None, None, None, :]
+    if cdn is not None:
+        c_gu = c_gu + cdn[..., None]
+    # dx = dxs * s
+    c_dxs = c_dxs + cdx * sN
+    c_s = c_s + jnp.sum(cdx * dxs, axis=(1, 2))
+    # ds_conv = sum_hw x * dxs
+    cdsN = cds[:, None, None, :]
+    c_x = c_x + cdsN * dxs
+    c_dxs = c_dxs + cdsN * x
+    # dw_conv = WG(xs, dz)
+    c_xs = c_xs + jax.vjp(lambda v: wg(v, dz), xs)[1](cdw)[0]   # [L1]
+    c_dz = c_dz + jax.vjp(lambda v: wg(xs, v), dz)[1](cdw)[0]   # [L2]
+
+    if demodulate:
+        dd = jnp.sum(gu * z, axis=(1, 2))
+        dq = -0.5 * d ** 3 * dd
+        dwsq = jnp.square(s).T @ dq
+        c_dq = jnp.zeros_like(dq)
+        c_wsq = jnp.zeros_like(wsq)
+        # ds_dm = 2 s (dq @ wsq^T)
+        c_s = c_s + 2.0 * cds * (dq @ wsq.T)
+        c_dq = c_dq + 2.0 * jnp.einsum("ni,ni,io->no", cds, s, wsq)
+        c_wsq = c_wsq + 2.0 * jnp.einsum("ni,ni,no->io", cds, s, dq)
+        # dw_dm = 2 w dwsq
+        c_w = c_w + 2.0 * cdw * dwsq[None, None]
+        c_dwsq = 2.0 * jnp.sum(cdw * w, axis=(0, 1))
+        # dwsq = s^2^T @ dq
+        c_s = c_s + 2.0 * s * jnp.einsum("io,no->ni", c_dwsq, dq)
+        c_dq = c_dq + jnp.einsum("io,ni->no", c_dwsq, jnp.square(s))
+        # dq = -1/2 d^3 dd
+        c_d = c_d + (-1.5) * d ** 2 * dd * c_dq
+        c_dd = -0.5 * d ** 3 * c_dq
+        # dd = sum_hw gu * z
+        c_gu = c_gu + z * c_dd[:, None, None, :]
+        c_z = c_z + gu * c_dd[:, None, None, :]
+    else:
+        c_wsq = None
+
+    # dxs = convT(dz, w)
+    c_dz = c_dz + jax.vjp(lambda v: convT(v, w), dz)[1](c_dxs)[0]    # [L3]
+    c_w = c_w + jax.vjp(lambda k_: convT(dz, k_), w)[1](c_dxs)[0]    # [L4]
+    # dz = gu * d
+    c_gu = c_gu + c_dz * dN
+    c_d = c_d + jnp.sum(gu * c_dz, axis=(1, 2))
+    # z = conv(xs, w)
+    c_xs = c_xs + convT(c_z, w)                               # [L5]
+    c_w = c_w + wg(xs, c_z)                                   # [L6]
+    # xs = x * s
+    c_x = c_x + c_xs * sN
+    c_s = c_s + jnp.sum(x * c_xs, axis=(1, 2))
+    # d = rsqrt(q + eps); q = s^2 @ wsq; wsq = sum_k w^2
+    if demodulate:
+        c_q = -0.5 * d ** 3 * c_d
+        c_s = c_s + 2.0 * s * (c_q @ wsq.T)
+        c_wsq = c_wsq + jnp.square(s).T @ c_q
+        c_w = c_w + 2.0 * w * c_wsq[None, None]
+    # gu = g * m (m locally constant)
+    c_g = m * c_gu
+
+    # noise/bias enter the backward only through the (locally constant)
+    # mask — their cotangents are exactly zero, as under autodiff.
+    c_n = None if noise is None else jnp.zeros(noise.shape, x.dtype)
+    c_b = None if bias is None else jnp.zeros(bias.shape, x.dtype)
+    return c_x, c_w, c_s, c_n, c_b, c_g
