@@ -346,7 +346,27 @@ def _modconv_apply_so_fwd(x, w, styles, noise, bias, resid, gain, alpha,
     return y, (x, w, styles, noise, bias, resid)
 
 
+def so_native() -> bool:
+    """Round-4 route: the scoped wrappers' outer-bwd legs run on the
+    PACKED launches (apply-op bwd = the fused packed backward; bwd-op bwd
+    = the hand-derived VJP-of-the-backward of second_order_native, with
+    every x-sized term a packed launch). MGT_SO_NATIVE=0 restores the
+    round-3 XLA-ref recompute legs for A/B. Read at trace time."""
+    return os.environ.get("MGT_SO_NATIVE", "1") != "0"
+
+
 def _modconv_apply_so_bwd(gain, alpha, demodulate, packed_io, res, g):
+    if so_native():
+        from morphganformer_tpu.ops import pallas_conv as pc
+
+        x, w, styles, noise, bias, resid = res
+        y, d = pc._modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha,
+                                    demodulate, packed_io, resid=resid)
+        flags = _all_tok(pc, True, noise is not None, bias is not None,
+                         True, True, resid is not None)
+        res2 = (x, w, styles, noise, bias, resid, y, d, flags)
+        return pc._modconv_bwd_impl(gain, alpha, demodulate, packed_io,
+                                    res2, g)
     _, vjp = jax.vjp(
         lambda *a: modconv_ref(*a, gain, alpha, demodulate, packed_io), *res)
     return vjp(g)
@@ -376,7 +396,77 @@ def _modconv_bwd_so_fwd(x, w, styles, noise, bias, resid, g, gain, alpha,
     return outs, (x, w, styles, noise, bias, resid, g)
 
 
+def _launch_conv_ops_modconv():
+    """(conv, convT, wg) realized by the PACKED launches, pixel-space IO
+    (the impls repack internally): conv = the fused forward with
+    styles=1, demod off, alpha=gain=1 (mask degenerates to 1); convT/wg =
+    the fused backward's dx / in-kernel dw taps under the same
+    degeneration. These are the primitives second_order_native's
+    validated VJP-of-the-backward DAG is written against."""
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    def conv(a, k):
+        ones = jnp.ones((a.shape[0], k.shape[2]), jnp.float32)
+        y, _ = pc._modconv_fwd_impl(a, k, ones, None, None, 1.0, 1.0,
+                                    False, False)
+        return y
+
+    def _adj(x_val, k, g_val, want_x, want_w):
+        flags = _all_tok(pc, want_w, False, False, False, want_x, False)
+        ones_s = jnp.ones((g_val.shape[0], k.shape[2]), jnp.float32)
+        d = jnp.ones((g_val.shape[0], k.shape[3]), jnp.float32)
+        res = (x_val, k, ones_s, None, None, None, jnp.zeros_like(g_val),
+               d, flags)
+        out = pc._modconv_bwd_impl(1.0, 1.0, False, False, res, g_val)
+        return out[0], out[1]
+
+    def convT(a, k):
+        x_dummy = jnp.zeros(a.shape[:3] + (k.shape[2],), a.dtype)
+        return _adj(x_dummy, k, a, want_x=True, want_w=False)[0]
+
+    def wg(a, b):
+        k_dummy = jnp.zeros((3, 3, a.shape[-1], b.shape[-1]), a.dtype)
+        return _adj(a, k_dummy, b, want_x=False, want_w=True)[1]
+
+    return conv, convT, wg
+
+
 def _modconv_bwd_so_bwd(gain, alpha, demodulate, packed_io, res, cts):
+    if so_native():
+        from morphganformer_tpu.ops import pallas_conv as pc
+        from morphganformer_tpu.ops import second_order_native as sn
+
+        x, w, styles, noise, bias, resid, g = res
+        cdx, cdw, cds, cdn, cdb, cdr = cts
+        n, h, width, wg_, pack, ci, co = pc._modconv_geometry(x, w,
+                                                              packed_io)
+
+        def unpk(t, ch):
+            return (t.reshape(n, h, wg_, pack, ch).reshape(n, h, width, ch)
+                    if packed_io else t)
+
+        def repk(t, ch):
+            return (t.reshape(n, h, wg_, pack, ch).reshape(
+                n, h, wg_, pack * ch) if packed_io else t)
+
+        cx, cw, cs, cn, cb, cg = sn.modconv_bwd_vjp_explicit(
+            unpk(x, ci), w, styles, noise, bias, unpk(g, co),
+            (unpk(cdx, ci), cdw, cds, cdn, cdb), gain, alpha, demodulate,
+            conv_ops=_launch_conv_ops_modconv())
+        # dresid = g exactly, so its cotangent adds straight to cg and
+        # nothing depends on resid's value.
+        if resid is not None and cdr is not None:
+            cg = cg + unpk(cdr, co).astype(cg.dtype)
+        # noise/bias/resid enter the backward only through the locally
+        # constant mask (or not at all): exact-zero cotangents, in the
+        # primal dtypes custom_vjp requires.
+        cn = None if noise is None else jnp.zeros_like(noise)
+        cb = None if bias is None else jnp.zeros_like(bias)
+        cresid = None if resid is None else jnp.zeros_like(resid)
+        return (repk(cx.astype(x.dtype), ci), cw.astype(w.dtype),
+                cs.astype(styles.dtype), cn, cb, cresid,
+                repk(cg.astype(g.dtype), co))
+
     def cot_ref(x, w, styles, noise, bias, resid, g):
         _, vjp = jax.vjp(
             lambda *a: modconv_ref(*a, gain, alpha, demodulate, packed_io),
@@ -411,6 +501,18 @@ def _upconv_apply_so_fwd(x, w, styles, f, noise, bias, gain, alpha,
 
 
 def _upconv_apply_so_bwd(gain, alpha, demodulate, flip_weight, res, g):
+    if so_native():
+        from morphganformer_tpu.ops import pallas_conv as pc
+
+        x, w, styles, f, noise, bias = res
+        y, d, kpix = pc._packed_upconv_fwd_impl(x, w, styles, f, noise,
+                                                bias, gain, alpha,
+                                                demodulate, flip_weight)
+        flags = _all_tok(pc, True, noise is not None, bias is not None,
+                         styles is not None, True)
+        res2 = (x, w, styles, f, noise, bias, y, d, kpix, flags)
+        return pc._packed_upconv_bwd_impl(gain, alpha, demodulate,
+                                          flip_weight, res2, g)
     _, vjp = jax.vjp(
         lambda *a: upconv_ref(*a, gain, alpha, demodulate, flip_weight), *res)
     return vjp(g)
@@ -442,7 +544,95 @@ def _upconv_bwd_so_fwd(x, w, styles, f, noise, bias, g, gain, alpha,
     return outs, (x, w, styles, f, noise, bias, g)
 
 
+def _launch_conv_ops_upconv(f, flip_weight, P, w_like):
+    """(conv, convT, wg) for the 2x-up op, realized by the packed
+    launches with pixel-space IO (pack/unpack are single reshapes).
+    conv(a,k) = UpFIR(a, compose(k)) with styles=1, demod off,
+    alpha=gain=1; convT/wg = the packed adjoint's dx / folded dw under
+    the same degeneration. `w_like` supplies the raw-kernel shape for
+    wg's kernel slot (its VALUE is unused there — the fold transposes
+    and structural masks are geometry-only)."""
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    f32 = jnp.float32
+
+    def pk(t, ch, PP):
+        n_, h_, w_, _ = t.shape
+        return t.reshape(n_, h_, w_ // PP, PP * ch)
+
+    def unpk(t, ch, PP):
+        n_, h_, g_, _ = t.shape
+        return t.reshape(n_, h_, g_ * PP, ch)
+
+    def conv(a, k):
+        ci, co = k.shape[2], k.shape[3]
+        ones = jnp.ones((a.shape[0], ci), f32)
+        y, _, _ = pc._packed_upconv_fwd_impl(pk(a, ci, P), k, ones, f,
+                                             None, None, 1.0, 1.0, False,
+                                             flip_weight)
+        return unpk(y, co, 2 * P)
+
+    def _adj(x_px, k, g_px, want_x, want_w):
+        ci, co = k.shape[2], k.shape[3]
+        xp = pk(x_px, ci, P)
+        gp = pk(g_px, co, 2 * P)
+        flags = _all_tok(pc, want_w, False, False, False, want_x)
+        kpix = pc._compose_kernel_fir(k.astype(f32), f, flip_weight,
+                                      False, gain=4.0)
+        d = jnp.ones((gp.shape[0], co), f32)
+        res = (xp, k, None, f, None, None, jnp.zeros_like(gp), d, kpix,
+               flags)
+        return pc._packed_upconv_bwd_impl(1.0, 1.0, False, flip_weight,
+                                          res, gp)
+
+    def convT(a, k):
+        ci = k.shape[2]
+        x_dummy = jnp.zeros(
+            (a.shape[0], a.shape[1] // 2, a.shape[2] // 2, ci), a.dtype)
+        dx = _adj(x_dummy, k, a, want_x=True, want_w=False)[0]
+        return unpk(dx, ci, P)
+
+    def wg(a, b):
+        return _adj(a, w_like, b, want_x=False, want_w=True)[1]
+
+    return conv, convT, wg
+
+
 def _upconv_bwd_so_bwd(gain, alpha, demodulate, flip_weight, res, cts):
+    if so_native():
+        from morphganformer_tpu.ops import pallas_conv as pc
+        from morphganformer_tpu.ops import second_order_native as sn
+
+        x, w, styles, f, noise, bias, g = res
+        cdx, cdw, cds, cdf, cdn, cdb = cts
+        n, h_in, wg_, lanes = x.shape
+        ci, co = w.shape[2], w.shape[3]
+        P, Q, _ = pc._upconv_geometry(x.shape, w.shape, f)
+
+        unpk_i = lambda t: t.reshape(n, h_in, wg_ * P, ci)
+        unpk_o = lambda t: t.reshape(n, 2 * h_in, wg_ * Q, co)
+        repk_i = lambda t: t.reshape(n, h_in, wg_, P * ci)
+        repk_o = lambda t: t.reshape(n, 2 * h_in, wg_, Q * co)
+
+        # Unmodulated call sites (the 1x1 skip / torgb) have styles=None:
+        # the forward is style-free and demod-free there.
+        demod_eff = demodulate and styles is not None
+        s_eff = styles if styles is not None else jnp.ones((n, ci),
+                                                           jnp.float32)
+        cds_eff = cds if (styles is not None and cds is not None) else \
+            jnp.zeros((n, ci), jnp.float32)
+
+        ops = _launch_conv_ops_upconv(f, flip_weight, P, w)
+        cx, cw, cs, cn, cb, cg = sn.modconv_bwd_vjp_explicit(
+            unpk_i(x), w, s_eff, noise, bias, unpk_o(g),
+            (unpk_i(cdx), cdw, cds_eff, cdn, cdb), gain, alpha, demod_eff,
+            conv_ops=ops)
+        cn = None if noise is None else jnp.zeros_like(noise)
+        cb = None if bias is None else jnp.zeros_like(bias)
+        return (repk_i(cx.astype(x.dtype)), cw.astype(w.dtype),
+                None if styles is None else cs.astype(styles.dtype),
+                jnp.zeros_like(f), cn, cb, repk_o(cg.astype(g.dtype)))
+
     def cot_ref(x, w, styles, f, noise, bias, g):
         _, vjp = jax.vjp(
             lambda *a: upconv_ref(*a, gain, alpha, demodulate, flip_weight),
@@ -474,6 +664,16 @@ def _dconv_apply_so_fwd(x, w, f, bias, resid, gain, alpha, flip_weight):
 
 
 def _dconv_apply_so_bwd(gain, alpha, flip_weight, res, g):
+    if so_native():
+        from morphganformer_tpu.ops import pallas_conv as pc
+
+        x, w, f, bias, resid = res
+        y, K, q0 = pc._dconv_fwd_impl(x, w, f, bias, gain, alpha,
+                                      flip_weight, resid)
+        flags = _all_tok(pc, True, True, bias is not None,
+                         resid is not None)
+        res2 = (x, w, f, bias, resid, y, K, q0, flags)
+        return pc._dconv_bwd_impl(gain, alpha, flip_weight, res2, g)
     _, vjp = jax.vjp(lambda *a: dconv_ref(*a, gain, alpha, flip_weight),
                      *res)
     return vjp(g)

@@ -127,6 +127,7 @@ def _forward_pieces(x, w, s, noise, bias, gain, alpha, demodulate,
         d = jnp.ones((x.shape[0], w.shape[-1]), x.dtype)
     u = z * d[:, None, None, :]
     if noise is not None:
+        # [N,H,W] per-sample or [H,W] batch-shared (broadcasts over N).
         u = u + noise[..., None]
     if bias is not None:
         u = u + bias
@@ -150,7 +151,12 @@ def modconv_bwd_explicit(x, w, s, noise, bias, g, gain, alpha, demodulate,
     xs, z, wsq, d, _, m = _forward_pieces(x, w, s, noise, bias, gain, alpha,
                                           demodulate, conv_ops)
     gu = g * m
-    dnoise = None if noise is None else jnp.sum(gu, axis=-1)
+    if noise is None:
+        dnoise = None
+    elif noise.ndim == 2:          # batch-shared [H,W]
+        dnoise = jnp.sum(gu, axis=(0, -1))
+    else:                          # per-sample [N,H,W]
+        dnoise = jnp.sum(gu, axis=-1)
     dbias = None if bias is None else jnp.sum(gu, axis=(0, 1, 2))
     dz = gu * d[:, None, None, :]
     dxs = convT(dz, w)
@@ -199,7 +205,8 @@ def modconv_bwd_vjp_explicit(x, w, s, noise, bias, g, cots, gain, alpha,
     if cdb is not None:
         c_gu = c_gu + cdb[None, None, None, :]
     if cdn is not None:
-        c_gu = c_gu + cdn[..., None]
+        cdn_b = cdn[None, :, :, None] if cdn.ndim == 2 else cdn[..., None]
+        c_gu = c_gu + cdn_b
     # dx = dxs * s
     c_dxs = c_dxs + cdx * sN
     c_s = c_s + jnp.sum(cdx * dxs, axis=(1, 2))
@@ -207,9 +214,12 @@ def modconv_bwd_vjp_explicit(x, w, s, noise, bias, g, cots, gain, alpha,
     cdsN = cds[:, None, None, :]
     c_x = c_x + cdsN * dxs
     c_dxs = c_dxs + cdsN * x
-    # dw_conv = WG(xs, dz)
-    c_xs = c_xs + jax.vjp(lambda v: wg(v, dz), xs)[1](cdw)[0]   # [L1]
-    c_dz = c_dz + jax.vjp(lambda v: wg(xs, v), dz)[1](cdw)[0]   # [L2]
+    # dw_conv = WG(xs, dz). Transpose identities (<cdw, wg(a,b)> =
+    # <conv(a,cdw), b>): the vjp in `a` is convT(b, cdw), in `b` is
+    # conv(a, cdw) — both are the SAME launch geometries with the
+    # cotangent kernel cdw in the kernel slot.
+    c_xs = c_xs + convT(dz, cdw)                                # [L1]
+    c_dz = c_dz + conv(xs, cdw)                                 # [L2]
 
     if demodulate:
         dd = jnp.sum(gu * z, axis=(1, 2))
@@ -236,9 +246,10 @@ def modconv_bwd_vjp_explicit(x, w, s, noise, bias, g, cots, gain, alpha,
     else:
         c_wsq = None
 
-    # dxs = convT(dz, w)
-    c_dz = c_dz + jax.vjp(lambda v: convT(v, w), dz)[1](c_dxs)[0]    # [L3]
-    c_w = c_w + jax.vjp(lambda k_: convT(dz, k_), w)[1](c_dxs)[0]    # [L4]
+    # dxs = convT(dz, w). Transposes (<a, convT(b,k)> = <conv(a,k), b>):
+    # in `dz` the vjp is conv(c_dxs, w); in `w` it is wg(c_dxs, dz).
+    c_dz = c_dz + conv(c_dxs, w)                                # [L3]
+    c_w = c_w + wg(c_dxs, dz)                                   # [L4]
     # dz = gu * d
     c_gu = c_gu + c_dz * dN
     c_d = c_d + jnp.sum(gu * c_dz, axis=(1, 2))
