@@ -10,33 +10,35 @@ adjoint launches in f_bwd) has no JVP rule — which is why
 training/loss.py traces those stages under
 `packed_override.force_unpacked()` today.
 
-Fix (semantics verified on CPU with a pure_callback stand-in for
-pallas_call): reverse-over-reverse composes through custom_vjp chains as
-long as EVERY non-differentiable launch in the consumed trace is itself
-custom_vjp-protected. With MGT_PACKED_SECOND_ORDER=1 each packed op
-routes its symbolic-zeros f_fwd/f_bwd through two protected wrappers:
+Fix: reverse-over-reverse composes through custom_vjp chains as long as
+EVERY non-differentiable launch in the consumed trace is itself
+custom_vjp-protected. Inside second_order_scope() each packed op routes
+its symbolic-zeros f_fwd/f_bwd through two protected wrappers:
 
   * an apply-op whose primal is the fused packed forward launch and
-    whose custom bwd is `jax.vjp` of the unpacked XLA reference
-    composition (the executable spec the parity tests pin against);
-  * a bwd-op whose primal is the existing fused packed backward (the
-    adjoint launches with their in-kernel ds/dd/dw taps, run with
-    all-perturbed flags) and whose custom bwd — the second-order term —
-    is `jax.vjp` of the reference cotangent function.
+    whose custom bwd (consumed by the OUTER differentiation) is the
+    fused packed BACKWARD impl — recompute the forward launch, then the
+    adjoint launch with its in-kernel ds/dd/dw taps;
+  * a bwd-op whose primal is the existing fused packed backward and
+    whose custom bwd — the true second-order term — evaluates
+    second_order_native's hand-derived, autodiff-validated
+    VJP-of-the-backward DAG with conv/convT/wg realized by the SAME
+    packed launches (alpha=gain=1 degenerates the activation mask, so
+    the launches become the plain linear transposes the DAG needs).
 
-First-order primals therefore stay on the packed kernels in BOTH the
-inner and the outer trace; only the second-order linearization legs ride
-the unpacked XLA composition, and those run once per
-g_reg_interval/d_reg_interval (lazy regularization). Default OFF: with
-the gate unset none of this module is reachable and the production
-traces are byte-identical (training/loss.py keeps force_unpacked).
+Every launch-shaped term of the grad-of-grad therefore runs on the
+packed kernels; only [N,Co]/[Ci,Co]-sized demod-chain algebra rides XLA.
+MGT_SO_NATIVE=0 restores the round-3 XLA-ref legs for A/B.
 
-On-chip verdict (round 3, same-relay-session A/B at 1024^2 batch 4
-bf16, tools/profile_train.py --stages): force_unpacked wins — G_reg
-339.1 ms unpacked vs 360.0 ms scoped (and ~5x the cold compile),
-D_reg 496.6 ms unpacked vs 5969 ms scoped. XLA's own rematerialized
-grad-of-grad trace beats recompute-based wrappers here; the module
-stays as the opt-in A/B route (see _DEFAULT_REG_SECOND_ORDER).
+On-chip verdicts: round 3's recompute/XLA-ref legs LOST their A/Bs
+(G_reg 360 vs 339.1 unpacked; D_reg 5969 vs 496.6). Round 4 replaced
+every launch-shaped term with the packed kernels themselves — the
+apply-op outer-bwd runs the fused packed backward, and the bwd-op's
+VJP-of-the-backward evaluates second_order_native's validated DAG with
+conv/convT/wg realized by the launches — and the scoped route now WINS
+decisively: G_reg 260.8 ms (vs 324.0 best-remat unpacked), D_reg
+219.1 ms (vs 496.9). Both stages default to it (see
+_DEFAULT_REG_SECOND_ORDER).
 
 Reference anchor: training/loss.py:92-107 (pl_grads via
 torch.autograd.grad(create_graph=True)), :149-159 (r1_grads).
@@ -67,28 +69,23 @@ def packed_second_order() -> bool:
         "MGT_PACKED_SECOND_ORDER", "0") == "1"
 
 
-# Per-stage defaults when MGT_PACKED_SECOND_ORDER is unset, set by the
-# on-chip production-config measure (round 3, tools/profile_train.py
-# --second-order --stages, 1024^2 batch 4 bf16), which became possible
-# once the wrapper refs were spelled in tap form (see the tap-form
-# comment below; the conv-form refs OOMed HBM at 18.52G/15.75G on two
-# 8 GB grad-of-grad temps, and after the k=3 fix the k=1 skip ref OOMed
-# the same way at 19.70G). Same-relay-session A/B (G_main/D_main within
-# 0.1 ms across the three runs, so conditions were comparable):
-#   * PL (G_reg):  339.1 ms force_unpacked vs 360.0 ms scoped — scoped
-#     is ~6% SLOWER and its cold compile is ~5x longer (1354 s vs
-#     276 s single-stage compile+run). An earlier cross-session 512.4 ms
-#     force_unpacked reading (recorded in ROADMAP/SCALING's stage split,
-#     EMA 25.8 ms vs 11-14.5 ms here — a slower relay window) briefly
-#     argued the other way; the controlled A/B does not.
-#   * R1 (D_reg):  496.6 ms force_unpacked vs 5969 ms scoped (12x
-#     SLOWER: the D tower's strided-window dconv tap refs lowered to
-#     copy-heavy gathers under reverse-over-reverse; _taps_dconv2 now
-#     uses a space-to-depth phase split with static slices, unmeasured
-#     on-chip at production config).
-# Both stages therefore default to the force_unpacked XLA trace; the
-# scoped route stays available for A/Bs via MGT_PACKED_SECOND_ORDER=1.
-_DEFAULT_REG_SECOND_ORDER = {"pl": False, "r1": False}
+# Per-stage defaults when MGT_PACKED_SECOND_ORDER is unset. History of
+# the on-chip A/Bs at the 1024^2 batch-4 bf16 production config
+# (tools/profile_reg.py, one process per config):
+#   round 3 (XLA-ref recompute legs): PL 360.0 vs 339.1 force_unpacked,
+#     R1 5969 -> 522.6 (tap-form refs) vs 496.6 — scoped LOST both.
+#   round 4 remat tuning: PL force_unpacked+dots_saveable 324.0; R1
+#     remat variants OOM.
+#   round 4 NATIVE legs (every launch-shaped term of the outer bwd and
+#     the VJP-of-the-backward on the packed kernels — see
+#     second_order_native.py and the *_so bwds below):
+#       PL 260.8 ms  (-20% vs the dots-remat force_unpacked, -26% vs
+#                     round-3 baseline; compile 278 s)
+#       R1 219.1 ms  (-56% vs 496.9 force_unpacked; compile 68 s)
+# Both stages therefore default to the scoped packed route; the
+# force_unpacked XLA trace remains via MGT_PACKED_SECOND_ORDER=0 and
+# the round-3 ref legs via MGT_SO_NATIVE=0 (A/B kill switches).
+_DEFAULT_REG_SECOND_ORDER = {"pl": True, "r1": True}
 
 
 def reg_stage_second_order(stage: str = "pl") -> bool:
@@ -700,6 +697,62 @@ def _dconv_bwd_so_fwd(x, w, f, bias, resid, g, gain, alpha, flip_weight):
 
 
 def _dconv_bwd_so_bwd(gain, alpha, flip_weight, res, cts):
+    if so_native():
+        # Unmodulated stride-2 op (the D tower): no styles/demod, so the
+        # VJP-of-the-backward collapses to four launch-shaped terms with
+        # the mask locally constant:
+        #   cx = convT(gu, cdw)          cw = wg(cdx, gu)
+        #   cg = m*(conv(cdx, w) + conv(x, cdw) + bcast(cdbias)) + cdresid
+        # (cbias/cresid/cf are exactly zero; conv = the packed down-conv.)
+        from morphganformer_tpu.ops import pallas_conv as pc
+
+        x, w, f, bias, resid, g = res
+        cdx, cdw, cdf, cdb, cdr = cts
+        n, h, wg_, lanes = x.shape
+        cin, cout = w.shape[2], w.shape[3]
+        Q = lanes // cin
+        P = Q // 2
+
+        def down_conv(a, k):
+            y_, _, _ = pc._dconv_fwd_impl(a, k, f, None, 1.0, 1.0,
+                                          flip_weight, None)
+            return y_
+
+        def down_adj(x_val, k, g_val, want_x, want_w):
+            K, q0 = pc._dconv_compose(k, f, flip_weight)
+            flags = _all_tok(pc, want_x, want_w, False, False)
+            res2 = (x_val, k, f, None, None, jnp.zeros_like(g_val), K, q0,
+                    flags)
+            return pc._dconv_bwd_impl(1.0, 1.0, flip_weight, res2, g_val)
+
+        # Recompute the activation output (pre-resid) for the mask.
+        y_act, _, _ = pc._dconv_fwd_impl(x, w, f, bias, gain, alpha,
+                                         flip_weight, None)
+        m = jnp.where(y_act >= 0, jnp.asarray(gain, g.dtype),
+                      jnp.asarray(gain * alpha, g.dtype))
+        gu = g * m
+
+        cx = jnp.zeros_like(x)
+        cw = jnp.zeros_like(w)
+        cg_pre = jnp.zeros(gu.shape, jnp.float32)
+        if cdw is not None:
+            cx = down_adj(jnp.zeros_like(x), cdw.astype(jnp.float32), gu,
+                          True, False)[0].astype(x.dtype)
+            cg_pre = cg_pre + down_conv(x, cdw.astype(x.dtype)
+                                        ).astype(jnp.float32)
+        if cdx is not None:
+            cw = down_adj(cdx, w, gu, False, True)[1].astype(w.dtype)
+            cg_pre = cg_pre + down_conv(cdx, w.astype(cdx.dtype)
+                                        ).astype(jnp.float32)
+        if bias is not None and cdb is not None:
+            cg_pre = cg_pre + jnp.tile(cdb.astype(jnp.float32), P)
+        cg = (m.astype(jnp.float32) * cg_pre).astype(g.dtype)
+        if resid is not None and cdr is not None:
+            cg = cg + cdr.astype(cg.dtype)
+        cbias = None if bias is None else jnp.zeros_like(bias)
+        cresid = None if resid is None else jnp.zeros_like(resid)
+        return (cx, cw, jnp.zeros_like(f), cbias, cresid, cg)
+
     def cot_ref(x, w, f, bias, resid, g):
         _, vjp = jax.vjp(lambda *a: dconv_ref(*a, gain, alpha, flip_weight),
                          x, w, f, bias, resid)

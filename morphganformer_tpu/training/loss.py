@@ -131,14 +131,12 @@ def g_pl_loss(model, g_vars, z, c, rng, pl_mean, cfg: LossConfig):
     """Path-length regularization (reference loss.py:92-107).
     Returns (scalar, aux incl. new pl_mean).
 
-    PL is a grad-of-grad through synthesis and the packed kernels'
-    custom VJPs are first-order constructs, so by default this stage
-    traces inside packed_override.force_unpacked() (pure XLA, whose
-    remat'd grad-of-grad measured 339.1 ms vs 360.0 ms for the scoped
-    wrapper route on-chip at 1024^2 batch 4, at ~1/5 the cold compile).
-    MGT_PACKED_SECOND_ORDER=1 routes through the second-order-capable
-    packed wrappers instead (ops/second_order.py); the stage runs at
-    1/g_reg_interval frequency (lazy regularization) either way."""
+    PL is a grad-of-grad through synthesis. Since round 4 it defaults to
+    the SCOPED packed route (ops/second_order.py with the native launch
+    legs: 260.8 ms on-chip at 1024^2 batch 4 vs 324.0 for the best
+    force_unpacked XLA trace); MGT_PACKED_SECOND_ORDER=0 falls back to
+    force_unpacked. The stage runs at 1/g_reg_interval frequency (lazy
+    regularization) either way."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
     from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
                                                      second_order_scope)
@@ -228,12 +226,11 @@ def d_main_loss(model, d_model, g_vars, d_vars, real_img, z, c, rng,
 def d_r1_loss(d_model, d_vars, real_img, c, cfg: LossConfig):
     """R1 gradient penalty (reference loss.py:149-159).
 
-    Traces with the packed pallas paths disabled by default
-    (grad-of-grad through D): routing R1 through the second-order
-    wrappers measured 12x SLOWER on-chip (496.6 -> 5969 ms — the D
-    tower's strided-window dconv tap refs lowered to copy-heavy gathers
-    under reverse-over-reverse; see ops/second_order.py), so only
-    MGT_PACKED_SECOND_ORDER=1 selects the scoped route here.
+    Since round 4 this defaults to the SCOPED packed route
+    (ops/second_order.py native launch legs: 219.1 ms on-chip at 1024^2
+    batch 4 vs 496.9 force_unpacked — the packed D tower serves every
+    launch-shaped term of the grad-of-grad); MGT_PACKED_SECOND_ORDER=0
+    falls back to the force_unpacked XLA trace.
     Runs at 1/d_reg_interval frequency."""
     from morphganformer_tpu.ops.packed_override import force_unpacked
     from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
