@@ -175,12 +175,11 @@ def test_scope_routes_without_env(monkeypatch):
     from morphganformer_tpu.ops.second_order import (reg_stage_second_order,
                                                      second_order_scope)
     assert not packed_second_order()
-    # Default policy: unpacked for both stages — the controlled on-chip
-    # A/B has force_unpacked faster for PL (339.1 vs 360.0 ms) and R1
-    # (496.6 vs 5969 ms); scoped stays the MGT_PACKED_SECOND_ORDER=1
-    # opt-in.
-    assert not reg_stage_second_order("pl")
-    assert not reg_stage_second_order("r1")
+    # Default policy since round 4's native launch legs: SCOPED for both
+    # stages (on-chip PL 260.8 ms vs 324.0 force_unpacked, R1 219.1 vs
+    # 496.9); MGT_PACKED_SECOND_ORDER=0 is the force_unpacked fallback.
+    assert reg_stage_second_order("pl")
+    assert reg_stage_second_order("r1")
 
     n, h, wdt, c, o = 1, 8, 16, 8, 8
     x = _rand(0, (n, h, wdt, c))

@@ -184,7 +184,14 @@ def _init_d(cfg):
     return model, variables, img
 
 
-def test_r1_crashes_without_override(force_packed_d_no_override):
+def test_r1_crashes_without_override(force_packed_d_no_override,
+                                     monkeypatch):
+    """The pre-fix hazard this file documents: a bare packed launch in a
+    grad-of-grad trace has no JVP rule. Reproducing it now requires
+    forcing the force_unpacked FALLBACK route (MGT_PACKED_SECOND_ORDER=0)
+    — the round-4 default routes R1 through second_order_scope(), whose
+    wrappers make the trace differentiable (no crash by design)."""
+    monkeypatch.setenv("MGT_PACKED_SECOND_ORDER", "0")
     model, variables, img = _init_d(_d_cfg())
     with pytest.raises(Exception):
         _r1_grads(model, variables, img)
