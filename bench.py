@@ -234,20 +234,26 @@ def _time_projection(name, batch, steps, timed_runs):
     # axon relay shows rare ~1.6x-slow outlier windows (observed 37 vs 60
     # steps/s back-to-back); the max rate is the device's real throughput,
     # transient relay contention is not.
-    best_rate, final_loss = 0.0, 0.0
+    rates, final_loss = [], 0.0
     for rep in range(timed_runs):
         t0 = time.perf_counter()
         _, (losses, _) = comp(variables, target, std, carry, timed_idx, noise)
         final_loss = float(losses[-1])
         dt = time.perf_counter() - t0
-        best_rate = max(best_rate, steps / dt)
+        rates.append(steps / dt)
         _log(f"{name}: timed run {rep}: {steps / dt:.2f} steps/s")
         if _budget() < 45.0:
             break
-    return best_rate, final_loss, how
+    # Median emitted alongside (VERDICT r4 #7) so the best-of-N headline
+    # can be sanity-checked against it on a quiet relay.
+    rates.sort()
+    median = rates[len(rates) // 2] if len(rates) % 2 else (
+        0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]))
+    return rates[-1], median, final_loss, how
 
 
-def _headline_obj(steps_per_sec, final_loss, provisional, exec_source):
+def _headline_obj(steps_per_sec, median, final_loss, provisional,
+                  exec_source):
     obj = {
         "metric": "projection_1024_steps_per_sec",
         "value": round(steps_per_sec, 2),
@@ -255,6 +261,7 @@ def _headline_obj(steps_per_sec, final_loss, provisional, exec_source):
         "vs_baseline": round(steps_per_sec / NORTH_STAR, 3),
         "detail": {"final_mse": round(final_loss, 6),
                    "seconds_per_1000_steps": round(1000.0 / steps_per_sec, 1),
+                   "median_steps_per_sec": round(median, 2),
                    "exec_source": exec_source},
     }
     if provisional:
@@ -279,9 +286,10 @@ def phase_headline_aot():
         why = aot_cache.probe(AOT_DIR, "headline_b1")
         if why != "ok":
             raise AotMiss(f"headline_b1: AOT unavailable ({why})")
-    rate, final_loss, how = _time_projection("headline_b1", 1, 1000,
-                                             timed_runs=3)
-    _emit(_headline_obj(rate, final_loss, provisional=False, exec_source=how))
+    rate, median, final_loss, how = _time_projection("headline_b1", 1, 1000,
+                                                     timed_runs=3)
+    _emit(_headline_obj(rate, median, final_loss, provisional=False,
+                        exec_source=how))
 
 
 def phase_headline_xla():
@@ -290,9 +298,10 @@ def phase_headline_xla():
     with an empty cache)."""
     os.environ["MGT_PACKED_SYNTH"] = "0"
     _setup_jax_process()
-    rate, final_loss, how = _time_projection("headline_xla_b1", 1, 1000,
-                                             timed_runs=2)
-    _emit(_headline_obj(rate, final_loss, provisional=True, exec_source=how))
+    rate, median, final_loss, how = _time_projection("headline_xla_b1", 1,
+                                                     1000, timed_runs=2)
+    _emit(_headline_obj(rate, median, final_loss, provisional=True,
+                        exec_source=how))
 
 
 def phase_secondary():
@@ -343,7 +352,8 @@ def phase_secondary():
     # scan (pair-steps/s). The reference projects pairs sequentially
     # (projection_example_v2_percept_morph.py:356-357).
     try:
-        rate, _, how = _time_projection("headline_b2", 2, 250, timed_runs=2)
+        rate, _, _, how = _time_projection("headline_b2", 2, 250,
+                                           timed_runs=2)
         _emit({"metric": "morph_pair_projection_steps_per_sec",
                "value": round(rate, 2), "unit": "pair-steps/s"})
     except AotMiss as e:
@@ -354,7 +364,8 @@ def phase_secondary():
     # pairs-per-hour for the full 1000-step projection of 4 pairs =
     # rate * 4 * 3600 / 1000.
     try:
-        rate, _, how = _time_projection("headline_b8", 8, 250, timed_runs=2)
+        rate, _, _, how = _time_projection("headline_b8", 8, 250,
+                                           timed_runs=2)
         _emit({"metric": "morph_batch4_scan_steps_per_sec",
                "value": round(rate, 2), "unit": "steps/s",
                "detail": {"pairs_per_hour_1000step": round(

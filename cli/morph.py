@@ -70,10 +70,21 @@ def run_pairs(model_bundle, shared, pairs, out_dir, args):
     targets = jnp.concatenate([load_target(p, size=cfg.img_resolution)
                                for p in paths])
     rng, sub = jax.random.split(rng)
+    mesh = None
+    if getattr(args, "shard", False):
+        from morphganformer_tpu.parallel.mesh import make_data_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev > 1 and len(paths) % n_dev == 0:
+            mesh = make_data_mesh()
+            print(f"sharding the batch-{len(paths)} scan over "
+                  f"{n_dev} devices ('data' mesh)")
+        else:
+            print(f"--shard ignored: {n_dev} device(s), batch {len(paths)}")
     print(f"projecting {len(pairs)} pair(s) as one batch-{len(paths)} scan "
           f"({args.step} steps, loss={args.loss})...")
     res = project(model, variables, targets, loss_fn, pcfg, mean, std,
-                  rng=sub)
+                  rng=sub, mesh=mesh)
     per_img = jax.device_get(res.per_image_loss)
     print(f"  mean best loss {res.best_loss:.5f}; per-image "
           f"{[round(float(v), 5) for v in per_img]}")
@@ -115,6 +126,10 @@ def main():
     p.add_argument("--img-root", default="",
                    help="Prefix for paths in --pairs-csv")
     p.add_argument("--min-similarity", type=float, default=0.5)
+    p.add_argument("--shard", action="store_true",
+                   help="shard the batch-2P projection scan over all "
+                        "devices ('data' mesh, weights replicated); "
+                        "needs batch %% n_devices == 0")
     p.add_argument("--pairs-per-batch", type=int, default=4,
                    help="CSV mode: project this many pairs per batched scan "
                         "(one batch-2P projection; identical math to "

@@ -756,8 +756,11 @@ def _modconv_fwd(x, w, styles, noise, bias, resid, gain, alpha, demodulate,
         y = so.modconv_apply_so(x.value, w.value, styles.value, noise_v,
                                 bias_v, resid_v, gain, alpha, demodulate,
                                 packed_io)
+        # Save y: the routed backward serves the mask/demod recovery and
+        # the second-order z-recovery from it instead of recomputing the
+        # forward launch (round-5 saved-residual design).
         return y, (x.value, w.value, styles.value, noise_v, bias_v, resid_v,
-                   None, None, flags)
+                   y, None, flags)
     y, d = _modconv_fwd_impl(x.value, w.value, styles.value, noise_v, bias_v,
                              gain, alpha, demodulate, packed_io,
                              resid=resid_v)
@@ -770,9 +773,11 @@ def _modconv_bwd(gain, alpha, demodulate, packed_io, res, g):
     from morphganformer_tpu.ops.second_order import packed_second_order
     if packed_second_order():
         from morphganformer_tpu.ops import second_order as so
-        x, w, styles, noise, bias, resid, _y, _d, _flags = res
-        return so.modconv_bwd_so(x, w, styles, noise, bias, resid, g,
-                                 gain, alpha, demodulate, packed_io)
+        x, w, styles, noise, bias, resid, y, _d, flags = res
+        flags_b = tuple(f is not None for f in flags)
+        return so.modconv_bwd_so(x, w, styles, noise, bias, resid, y, g,
+                                 gain, alpha, demodulate, packed_io,
+                                 flags_b)
     return _modconv_bwd_impl(gain, alpha, demodulate, packed_io, res, g)
 
 
@@ -1729,8 +1734,9 @@ def _packed_upconv_fwd(x, w, styles, f, noise, bias, gain, alpha,
         from morphganformer_tpu.ops import second_order as so
         y = so.upconv_apply_so(x.value, w.value, styles_v, f.value, noise_v,
                                bias_v, gain, alpha, demodulate, flip_weight)
+        # Save y for the routed backward (round-5 saved-residual design).
         return y, (x.value, w.value, styles_v, f.value, noise_v, bias_v,
-                   None, None, None, flags)
+                   y, None, None, flags)
     y, d, kpix = _packed_upconv_fwd_impl(
         x.value, w.value, styles_v, f.value, noise_v, bias_v, gain, alpha,
         demodulate, flip_weight)
@@ -1743,9 +1749,11 @@ def _packed_upconv_bwd(gain, alpha, demodulate, flip_weight, res, g):
     from morphganformer_tpu.ops.second_order import packed_second_order
     if packed_second_order():
         from morphganformer_tpu.ops import second_order as so
-        x, w, styles, f, noise, bias, _y, _d, _kpix, _flags = res
-        return so.upconv_bwd_so(x, w, styles, f, noise, bias, g,
-                                gain, alpha, demodulate, flip_weight)
+        x, w, styles, f, noise, bias, y, _d, _kpix, flags = res
+        flags_b = tuple(fl is not None for fl in flags)
+        return so.upconv_bwd_so(x, w, styles, f, noise, bias, y, g,
+                                gain, alpha, demodulate, flip_weight,
+                                flags_b)
     return _packed_upconv_bwd_impl(gain, alpha, demodulate, flip_weight,
                                    res, g)
 
@@ -2066,8 +2074,9 @@ def _dconv_fwd(x, w, f, bias, resid, gain, alpha, flip_weight):
         from morphganformer_tpu.ops import second_order as so
         y = so.dconv_apply_so(x.value, w.value, f_v, bias_v, resid_v,
                               gain, alpha, flip_weight)
+        # Save y for the routed backward (round-5 saved-residual design).
         return y, (x.value, w.value, f_v, bias_v, resid_v,
-                   None, None, None, flags)
+                   y, None, None, flags)
     y, K, q0 = _dconv_fwd_impl(x.value, w.value, f_v, bias_v, gain,
                                alpha, flip_weight, resid_v)
     return y, (x.value, w.value, f_v, bias_v, resid_v, y, K, q0, flags)
@@ -2077,9 +2086,10 @@ def _dconv_bwd(gain, alpha, flip_weight, res, g):
     from morphganformer_tpu.ops.second_order import packed_second_order
     if packed_second_order():
         from morphganformer_tpu.ops import second_order as so
-        x, w, f, bias, resid, _y, _K, _q0, _flags = res
-        return so.dconv_bwd_so(x, w, f, bias, resid, g,
-                               gain, alpha, flip_weight)
+        x, w, f, bias, resid, y, _K, _q0, flags = res
+        flags_b = tuple(fl is not None for fl in flags)
+        return so.dconv_bwd_so(x, w, f, bias, resid, y, g,
+                               gain, alpha, flip_weight, flags_b)
     return _dconv_bwd_impl(gain, alpha, flip_weight, res, g)
 
 

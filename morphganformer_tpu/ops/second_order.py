@@ -13,32 +13,40 @@ training/loss.py traces those stages under
 Fix: reverse-over-reverse composes through custom_vjp chains as long as
 EVERY non-differentiable launch in the consumed trace is itself
 custom_vjp-protected. Inside second_order_scope() each packed op routes
-its symbolic-zeros f_fwd/f_bwd through two protected wrappers:
+its symbolic-zeros f_fwd/f_bwd through two protected wrappers
+(round-5 saved-residual design):
 
-  * an apply-op whose primal is the fused packed forward launch and
-    whose custom bwd (consumed by the OUTER differentiation) is the
-    fused packed BACKWARD impl — recompute the forward launch, then the
-    adjoint launch with its in-kernel ds/dd/dw taps;
-  * a bwd-op whose primal is the existing fused packed backward and
+  * an apply-op whose primal is the fused packed forward launch, whose
+    residuals SAVE the output y, and whose custom bwd (consumed by the
+    OUTER differentiation) is therefore ONE adjoint launch with the
+    in-kernel ds/dd/dw taps — no forward recompute;
+  * a bwd-op that takes the SAVED y as an input (its primal is just the
+    fused packed backward with the REAL inner perturbation flags — PL's
+    inner trace never computes dw taps, R1's computes dx only) and
     whose custom bwd — the true second-order term — evaluates
-    second_order_native's hand-derived, autodiff-validated
-    VJP-of-the-backward DAG with conv/convT/wg realized by the SAME
-    packed launches (alpha=gain=1 degenerates the activation mask, so
-    the launches become the plain linear transposes the DAG needs).
+    second_order_native's hand-derived, autodiff-validated FROM-Y
+    VJP-of-the-backward DAG: the conv output z is recovered from y via
+    the act-inverse identity (no launch), z's input-dependence routes
+    back through the apply op's backward via the c_y cotangent (an
+    adjoint launch that already fires for the chain), [L0]+[L4] ride
+    one adjoint launch (dx slot + kernel-independent dw taps), [L2]
+    chains into [L3] through the launch's resid slot, and
+    structurally-zero cotangents (symbolic_zeros) skip their launches
+    entirely.
 
-Every launch-shaped term of the grad-of-grad therefore runs on the
-packed kernels; only [N,Co]/[Ci,Co]-sized demod-chain algebra rides XLA.
-MGT_SO_NATIVE=0 restores the round-3 XLA-ref legs for A/B.
+Per-op launch counts for a full reg stage (inner fwd + inner bwd +
+outer bwd): PL 5, R1 4-5 — at the ideal-packed bound (~3 passes of
+fwd+bwd), vs ~12-13 in the round-4 recompute DAG. Only
+[N,Co]/[Ci,Co]-sized demod-chain algebra rides XLA.
+MGT_SO_NATIVE=0 restores the recompute-based XLA-ref legs for A/B.
 
 On-chip verdicts: round 3's recompute/XLA-ref legs LOST their A/Bs
-(G_reg 360 vs 339.1 unpacked; D_reg 5969 vs 496.6). Round 4 replaced
-every launch-shaped term with the packed kernels themselves — the
-apply-op outer-bwd runs the fused packed backward, and the bwd-op's
-VJP-of-the-backward evaluates second_order_native's validated DAG with
-conv/convT/wg realized by the launches — and the scoped route now WINS
-decisively: G_reg 260.8 ms (vs 324.0 best-remat unpacked), D_reg
-219.1 ms (vs 496.9). Both stages default to it (see
-_DEFAULT_REG_SECOND_ORDER).
+(G_reg 360 vs 339.1 unpacked; D_reg 5969 vs 496.6). Round 4's native
+launch legs WON decisively: G_reg 260.8 ms (vs 324.0 best-remat
+unpacked), D_reg 219.1 ms (vs 496.9); both stages default to the
+scoped route (_DEFAULT_REG_SECOND_ORDER). Round 5 replaced the
+recompute DAG with the saved-y design above — on-chip numbers in
+ROADMAP's round-5 section.
 
 Reference anchor: training/loss.py:92-107 (pl_grads via
 torch.autograd.grad(create_graph=True)), :149-159 (r1_grads).
@@ -306,13 +314,22 @@ def dconv_ref(x, w, f, bias, resid, gain, alpha, flip_weight):
 
 
 # ---------------------------------------------------------------------------
-# Protected wrappers. Pattern per op:
-#   <op>_apply_so  — primal: fused packed forward launch;
-#                    custom bwd: jax.vjp of the reference composition.
-#   <op>_bwd_so    — primal: the existing fused packed backward with
-#                    all-perturbed flags (adjoint launches + in-kernel
-#                    taps); custom bwd: jax.vjp of the reference
-#                    cotangent function (vjp-of-vjp, pure XLA).
+# Protected wrappers. Pattern per op (round-5 saved-residual design):
+#   <op>_apply_so  — primal: fused packed forward launch; residuals SAVE
+#                    the output y, so the custom bwd (consumed by the
+#                    OUTER differentiation) is ONE adjoint launch with
+#                    the in-kernel ds/dd/dw taps — no forward recompute.
+#   <op>_bwd_so    — takes the SAVED y as an input; primal is just the
+#                    fused packed backward (no forward recompute), with
+#                    the REAL inner perturbation flags so e.g. PL's
+#                    inner trace never computes dw taps. Its custom bwd
+#                    — the true second-order term — evaluates
+#                    second_order_native's from-y VJP-of-the-backward
+#                    DAG (z recovered from y, z's input-dependence
+#                    routed back through apply's backward via the c_y
+#                    cotangent), with symbolic-zero cotangent skips:
+#                    PL runs 2 launch-shaped terms, R1 1-2, vs 8 in the
+#                    round-4 recompute DAG.
 # The primal outputs are the production values; the custom bwd rules are
 # only consumed by the OUTER differentiation of the reg stages.
 # ---------------------------------------------------------------------------
@@ -321,6 +338,13 @@ def dconv_ref(x, w, f, bias, resid, gain, alpha, flip_weight):
 def _all_tok(pc, *present):
     """Flag tuple with every PRESENT input marked perturbed."""
     return tuple(pc._tok(p) for p in present)
+
+
+def _ct(c):
+    """None for structurally-zero cotangents (symbolic_zeros bwd)."""
+    from jax.custom_derivatives import SymbolicZero
+
+    return None if c is None or isinstance(c, SymbolicZero) else c
 
 
 # ---- fused_modconv3x3_lrelu ----------------------------------------------
@@ -340,7 +364,7 @@ def _modconv_apply_so_fwd(x, w, styles, noise, bias, resid, gain, alpha,
                           demodulate, packed_io):
     y = modconv_apply_so(x, w, styles, noise, bias, resid, gain, alpha,
                          demodulate, packed_io)
-    return y, (x, w, styles, noise, bias, resid)
+    return y, (x, w, styles, noise, bias, resid, y)
 
 
 def so_native() -> bool:
@@ -356,56 +380,71 @@ def _modconv_apply_so_bwd(gain, alpha, demodulate, packed_io, res, g):
     if so_native():
         from morphganformer_tpu.ops import pallas_conv as pc
 
-        x, w, styles, noise, bias, resid = res
-        y, d = pc._modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha,
-                                    demodulate, packed_io, resid=resid)
+        # Saved-y route: ONE adjoint launch (with in-kernel taps); the
+        # demod coefficient is [N,Co] algebra, recomputed for free.
+        x, w, styles, noise, bias, resid, y = res
+        d = pc._demod_coef(w, styles, demodulate)[0]
         flags = _all_tok(pc, True, noise is not None, bias is not None,
                          True, True, resid is not None)
         res2 = (x, w, styles, noise, bias, resid, y, d, flags)
         return pc._modconv_bwd_impl(gain, alpha, demodulate, packed_io,
                                     res2, g)
     _, vjp = jax.vjp(
-        lambda *a: modconv_ref(*a, gain, alpha, demodulate, packed_io), *res)
+        lambda *a: modconv_ref(*a, gain, alpha, demodulate, packed_io),
+        *res[:6])
     return vjp(g)
 
 
 modconv_apply_so.defvjp(_modconv_apply_so_fwd, _modconv_apply_so_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def modconv_bwd_so(x, w, styles, noise, bias, resid, g, gain, alpha,
-                   demodulate, packed_io):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def modconv_bwd_so(x, w, styles, noise, bias, resid, y, g, gain, alpha,
+                   demodulate, packed_io, flags_b):
+    """The inner backward, served from the SAVED forward output y (no
+    forward recompute). flags_b mirrors _modconv_fwd's flag order
+    (w, noise, bias, styles, x, resid) with the REAL inner perturbation
+    flags, so e.g. PL's inner trace (w/noise/bias frozen) skips the dw
+    taps entirely."""
     from morphganformer_tpu.ops import pallas_conv as pc
 
-    y, d = pc._modconv_fwd_impl(x, w, styles, noise, bias, gain, alpha,
-                                demodulate, packed_io, resid=resid)
-    # Flag order of _modconv_fwd: (w, noise, bias, styles, x, resid).
-    flags = _all_tok(pc, True, noise is not None, bias is not None, True,
-                     True, resid is not None)
+    d = pc._demod_coef(w, styles, demodulate)[0]
+    flags = tuple(pc._tok(b) for b in flags_b)
     res = (x, w, styles, noise, bias, resid, y, d, flags)
     return pc._modconv_bwd_impl(gain, alpha, demodulate, packed_io, res, g)
 
 
-def _modconv_bwd_so_fwd(x, w, styles, noise, bias, resid, g, gain, alpha,
-                        demodulate, packed_io):
-    outs = modconv_bwd_so(x, w, styles, noise, bias, resid, g, gain, alpha,
-                          demodulate, packed_io)
-    return outs, (x, w, styles, noise, bias, resid, g)
+def _modconv_bwd_so_fwd(x, w, styles, noise, bias, resid, y, g, gain, alpha,
+                        demodulate, packed_io, flags_b):
+    vals = tuple(a.value if a is not None else None
+                 for a in (x, w, styles, noise, bias, resid, y, g))
+    outs = modconv_bwd_so(*vals, gain, alpha, demodulate, packed_io,
+                          flags_b)
+    return outs, vals
 
 
 def _launch_conv_ops_modconv():
-    """(conv, convT, wg) realized by the PACKED launches, pixel-space IO
-    (the impls repack internally): conv = the fused forward with
-    styles=1, demod off, alpha=gain=1 (mask degenerates to 1); convT/wg =
-    the fused backward's dx / in-kernel dw taps under the same
-    degeneration. These are the primitives second_order_native's
-    validated VJP-of-the-backward DAG is written against."""
+    """(conv, convT, wg, adj, conv_resid) realized by the PACKED
+    launches, pixel-space IO (the impls repack internally): conv = the
+    fused forward with styles=1, demod off, alpha=gain=1 (mask
+    degenerates to 1); convT/wg = the fused backward's dx / in-kernel dw
+    taps under the same degeneration; adj(g, x, k) = BOTH from one
+    launch (the dw taps ride the dx stream — the [L0]+[L4] fusion);
+    conv_resid chains a prior partial through the launch's in-kernel
+    resid slot. These are the primitives second_order_native's
+    validated from-y VJP-of-the-backward DAG is written against."""
     from morphganformer_tpu.ops import pallas_conv as pc
 
     def conv(a, k):
         ones = jnp.ones((a.shape[0], k.shape[2]), jnp.float32)
         y, _ = pc._modconv_fwd_impl(a, k, ones, None, None, 1.0, 1.0,
                                     False, False)
+        return y
+
+    def conv_resid(a, k, r):
+        ones = jnp.ones((a.shape[0], k.shape[2]), jnp.float32)
+        y, _ = pc._modconv_fwd_impl(a, k, ones, None, None, 1.0, 1.0,
+                                    False, False, resid=r)
         return y
 
     def _adj(x_val, k, g_val, want_x, want_w):
@@ -425,15 +464,20 @@ def _launch_conv_ops_modconv():
         k_dummy = jnp.zeros((3, 3, a.shape[-1], b.shape[-1]), a.dtype)
         return _adj(a, k_dummy, b, want_x=False, want_w=True)[1]
 
-    return conv, convT, wg
+    def adj(g_val, x_val, k):
+        return _adj(x_val, k, g_val, want_x=True, want_w=True)
+
+    return conv, convT, wg, adj, conv_resid
 
 
-def _modconv_bwd_so_bwd(gain, alpha, demodulate, packed_io, res, cts):
+def _modconv_bwd_so_bwd(gain, alpha, demodulate, packed_io, flags_b, res,
+                        cts):
+    x, w, styles, noise, bias, resid, y, g = res
+    cts = tuple(_ct(c) for c in cts)
     if so_native():
         from morphganformer_tpu.ops import pallas_conv as pc
         from morphganformer_tpu.ops import second_order_native as sn
 
-        x, w, styles, noise, bias, resid, g = res
         cdx, cdw, cds, cdn, cdb, cdr = cts
         n, h, width, wg_, pack, ci, co = pc._modconv_geometry(x, w,
                                                               packed_io)
@@ -446,35 +490,50 @@ def _modconv_bwd_so_bwd(gain, alpha, demodulate, packed_io, res, cts):
             return (t.reshape(n, h, wg_, pack, ch).reshape(
                 n, h, wg_, pack * ch) if packed_io else t)
 
-        cx, cw, cs, cn, cb, cg = sn.modconv_bwd_vjp_explicit(
-            unpk(x, ci), w, styles, noise, bias, unpk(g, co),
-            (unpk(cdx, ci), cdw, cds, cdn, cdb), gain, alpha, demodulate,
-            conv_ops=_launch_conv_ops_modconv())
+        y_act = y - resid.astype(y.dtype) if resid is not None else y
+        ops = _launch_conv_ops_modconv()
+        cx, cw, cs, cn, cb, cy, cg = sn.modconv_bwd_vjp_from_y(
+            unpk(x, ci), w, styles, noise, bias, unpk(y_act, co),
+            unpk(g, co),
+            (None if cdx is None else unpk(cdx, ci), cdw, cds, cdn, cdb),
+            gain, alpha, demodulate,
+            conv_ops=ops[:3], adj_op=ops[3], conv_resid=ops[4])
         # dresid = g exactly, so its cotangent adds straight to cg and
         # nothing depends on resid's value.
         if resid is not None and cdr is not None:
             cg = cg + unpk(cdr, co).astype(cg.dtype)
-        # noise/bias/resid enter the backward only through the locally
-        # constant mask (or not at all): exact-zero cotangents, in the
-        # primal dtypes custom_vjp requires.
-        cn = None if noise is None else jnp.zeros_like(noise)
-        cb = None if bias is None else jnp.zeros_like(bias)
-        cresid = None if resid is None else jnp.zeros_like(resid)
+        # The recovery's fake resid-dependence (y_act = y - resid)
+        # mirrors c_y with a minus; both cancel against the y-route and
+        # are exact in composition (split-consistency test).
+        cy_out = (jnp.zeros_like(y) if cy is None
+                  else repk(cy, co).astype(y.dtype))
+        cresid = None if resid is None else (
+            jnp.zeros_like(resid) if cy is None
+            else -repk(cy, co).astype(resid.dtype))
+        cn = (None if noise is None else
+              (jnp.zeros_like(noise) if cn is None
+               else cn.astype(noise.dtype)))
+        cb = (None if bias is None else
+              (jnp.zeros_like(bias) if cb is None else cb.astype(bias.dtype)))
         return (repk(cx.astype(x.dtype), ci), cw.astype(w.dtype),
-                cs.astype(styles.dtype), cn, cb, cresid,
+                cs.astype(styles.dtype), cn, cb, cresid, cy_out,
                 repk(cg.astype(g.dtype), co))
 
-    def cot_ref(x, w, styles, noise, bias, resid, g):
+    def cot_ref(x_, w_, s_, n_, b_, r_, g_):
         _, vjp = jax.vjp(
             lambda *a: modconv_ref(*a, gain, alpha, demodulate, packed_io),
-            x, w, styles, noise, bias, resid)
-        return vjp(g)
+            x_, w_, s_, n_, b_, r_)
+        return vjp(g_)
 
-    _, vjp2 = jax.vjp(cot_ref, *res)
-    return vjp2(cts)
+    outs_ref, vjp2 = jax.vjp(cot_ref, x, w, styles, noise, bias, resid, g)
+    cts_inst = tuple(jnp.zeros_like(o) if c is None and o is not None else c
+                     for c, o in zip(cts, outs_ref))
+    cx, cw, cs, cn, cb, cr, cg = vjp2(cts_inst)
+    return (cx, cw, cs, cn, cb, cr, jnp.zeros_like(y), cg)
 
 
-modconv_bwd_so.defvjp(_modconv_bwd_so_fwd, _modconv_bwd_so_bwd)
+modconv_bwd_so.defvjp(_modconv_bwd_so_fwd, _modconv_bwd_so_bwd,
+                      symbolic_zeros=True)
 
 
 # ---- fused_packed_upconv2 --------------------------------------------------
@@ -494,51 +553,66 @@ def _upconv_apply_so_fwd(x, w, styles, f, noise, bias, gain, alpha,
                          demodulate, flip_weight):
     y = upconv_apply_so(x, w, styles, f, noise, bias, gain, alpha,
                         demodulate, flip_weight)
-    return y, (x, w, styles, f, noise, bias)
+    return y, (x, w, styles, f, noise, bias, y)
+
+
+def _upconv_aux(x, w, styles, f, flip_weight, demodulate):
+    """(d, kpix) for _packed_upconv_bwd_impl's res: [N,Co]/kernel-sized
+    algebra, free to recompute (no launch)."""
+    from morphganformer_tpu.ops import pallas_conv as pc
+
+    if styles is not None:
+        d = pc._demod_coef(w, styles, demodulate)[0]
+    else:
+        d = jnp.ones((x.shape[0], w.shape[3]), jnp.float32)
+    kpix = pc._compose_kernel_fir(w.astype(jnp.float32), f, flip_weight,
+                                  False, gain=4.0)
+    return d, kpix
 
 
 def _upconv_apply_so_bwd(gain, alpha, demodulate, flip_weight, res, g):
     if so_native():
         from morphganformer_tpu.ops import pallas_conv as pc
 
-        x, w, styles, f, noise, bias = res
-        y, d, kpix = pc._packed_upconv_fwd_impl(x, w, styles, f, noise,
-                                                bias, gain, alpha,
-                                                demodulate, flip_weight)
+        # Saved-y route: one adjoint launch with in-kernel taps.
+        x, w, styles, f, noise, bias, y = res
+        d, kpix = _upconv_aux(x, w, styles, f, flip_weight, demodulate)
         flags = _all_tok(pc, True, noise is not None, bias is not None,
                          styles is not None, True)
         res2 = (x, w, styles, f, noise, bias, y, d, kpix, flags)
         return pc._packed_upconv_bwd_impl(gain, alpha, demodulate,
                                           flip_weight, res2, g)
     _, vjp = jax.vjp(
-        lambda *a: upconv_ref(*a, gain, alpha, demodulate, flip_weight), *res)
+        lambda *a: upconv_ref(*a, gain, alpha, demodulate, flip_weight),
+        *res[:6])
     return vjp(g)
 
 
 upconv_apply_so.defvjp(_upconv_apply_so_fwd, _upconv_apply_so_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def upconv_bwd_so(x, w, styles, f, noise, bias, g, gain, alpha, demodulate,
-                  flip_weight):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def upconv_bwd_so(x, w, styles, f, noise, bias, y, g, gain, alpha,
+                  demodulate, flip_weight, flags_b):
+    """Inner backward from the SAVED y (no forward recompute); flags_b
+    mirrors _packed_upconv_fwd's flag order (w, noise, bias, styles, x)
+    with the real inner perturbation flags."""
     from morphganformer_tpu.ops import pallas_conv as pc
 
-    y, d, kpix = pc._packed_upconv_fwd_impl(x, w, styles, f, noise, bias,
-                                            gain, alpha, demodulate,
-                                            flip_weight)
-    # Flag order of _packed_upconv_fwd: (w, noise, bias, styles, x).
-    flags = _all_tok(pc, True, noise is not None, bias is not None,
-                     styles is not None, True)
+    d, kpix = _upconv_aux(x, w, styles, f, flip_weight, demodulate)
+    flags = tuple(pc._tok(b) for b in flags_b)
     res = (x, w, styles, f, noise, bias, y, d, kpix, flags)
     return pc._packed_upconv_bwd_impl(gain, alpha, demodulate,
                                       flip_weight, res, g)
 
 
-def _upconv_bwd_so_fwd(x, w, styles, f, noise, bias, g, gain, alpha,
-                       demodulate, flip_weight):
-    outs = upconv_bwd_so(x, w, styles, f, noise, bias, g, gain, alpha,
-                         demodulate, flip_weight)
-    return outs, (x, w, styles, f, noise, bias, g)
+def _upconv_bwd_so_fwd(x, w, styles, f, noise, bias, y, g, gain, alpha,
+                       demodulate, flip_weight, flags_b):
+    vals = tuple(a.value if a is not None else None
+                 for a in (x, w, styles, f, noise, bias, y, g))
+    outs = upconv_bwd_so(*vals, gain, alpha, demodulate, flip_weight,
+                         flags_b)
+    return outs, vals
 
 
 def _launch_conv_ops_upconv(f, flip_weight, P, w_like):
@@ -592,15 +666,21 @@ def _launch_conv_ops_upconv(f, flip_weight, P, w_like):
     def wg(a, b):
         return _adj(a, w_like, b, want_x=False, want_w=True)[1]
 
-    return conv, convT, wg
+    def adj(g_px, x_px, k):
+        out = _adj(x_px, k, g_px, want_x=True, want_w=True)
+        return unpk(out[0], k.shape[2], P), out[1]
+
+    return conv, convT, wg, adj
 
 
-def _upconv_bwd_so_bwd(gain, alpha, demodulate, flip_weight, res, cts):
+def _upconv_bwd_so_bwd(gain, alpha, demodulate, flip_weight, flags_b, res,
+                       cts):
+    x, w, styles, f, noise, bias, y, g = res
+    cts = tuple(_ct(c) for c in cts)
     if so_native():
         from morphganformer_tpu.ops import pallas_conv as pc
         from morphganformer_tpu.ops import second_order_native as sn
 
-        x, w, styles, f, noise, bias, g = res
         cdx, cdw, cds, cdf, cdn, cdb = cts
         n, h_in, wg_, lanes = x.shape
         ci, co = w.shape[2], w.shape[3]
@@ -616,31 +696,40 @@ def _upconv_bwd_so_bwd(gain, alpha, demodulate, flip_weight, res, cts):
         demod_eff = demodulate and styles is not None
         s_eff = styles if styles is not None else jnp.ones((n, ci),
                                                            jnp.float32)
-        cds_eff = cds if (styles is not None and cds is not None) else \
-            jnp.zeros((n, ci), jnp.float32)
+        cds_eff = cds if styles is not None else None
 
         ops = _launch_conv_ops_upconv(f, flip_weight, P, w)
-        cx, cw, cs, cn, cb, cg = sn.modconv_bwd_vjp_explicit(
-            unpk_i(x), w, s_eff, noise, bias, unpk_o(g),
-            (unpk_i(cdx), cdw, cds_eff, cdn, cdb), gain, alpha, demod_eff,
-            conv_ops=ops)
-        cn = None if noise is None else jnp.zeros_like(noise)
-        cb = None if bias is None else jnp.zeros_like(bias)
+        cx, cw, cs, cn, cb, cy, cg = sn.modconv_bwd_vjp_from_y(
+            unpk_i(x), w, s_eff, noise, bias, unpk_o(y), unpk_o(g),
+            (None if cdx is None else unpk_i(cdx), cdw, cds_eff, cdn, cdb),
+            gain, alpha, demod_eff, conv_ops=ops[:3], adj_op=ops[3])
+        cy_out = (jnp.zeros_like(y) if cy is None
+                  else repk_o(cy).astype(y.dtype))
+        cn = (None if noise is None else
+              (jnp.zeros_like(noise) if cn is None
+               else cn.astype(noise.dtype)))
+        cb = (None if bias is None else
+              (jnp.zeros_like(bias) if cb is None else cb.astype(bias.dtype)))
         return (repk_i(cx.astype(x.dtype)), cw.astype(w.dtype),
                 None if styles is None else cs.astype(styles.dtype),
-                jnp.zeros_like(f), cn, cb, repk_o(cg.astype(g.dtype)))
+                jnp.zeros_like(f), cn, cb, cy_out,
+                repk_o(cg.astype(g.dtype)))
 
-    def cot_ref(x, w, styles, f, noise, bias, g):
+    def cot_ref(x_, w_, s_, f_, n_, b_, g_):
         _, vjp = jax.vjp(
             lambda *a: upconv_ref(*a, gain, alpha, demodulate, flip_weight),
-            x, w, styles, f, noise, bias)
-        return vjp(g)
+            x_, w_, s_, f_, n_, b_)
+        return vjp(g_)
 
-    _, vjp2 = jax.vjp(cot_ref, *res)
-    return vjp2(cts)
+    outs_ref, vjp2 = jax.vjp(cot_ref, x, w, styles, f, noise, bias, g)
+    cts_inst = tuple(jnp.zeros_like(o) if c is None and o is not None else c
+                     for c, o in zip(cts, outs_ref))
+    cx, cw, cs, cf, cn, cb, cg = vjp2(cts_inst)
+    return (cx, cw, cs, cf, cn, cb, jnp.zeros_like(y), cg)
 
 
-upconv_bwd_so.defvjp(_upconv_bwd_so_fwd, _upconv_bwd_so_bwd)
+upconv_bwd_so.defvjp(_upconv_bwd_so_fwd, _upconv_bwd_so_bwd,
+                     symbolic_zeros=True)
 
 
 # ---- fused_packed_dconv2 ---------------------------------------------------
@@ -657,109 +746,131 @@ def dconv_apply_so(x, w, f, bias, resid, gain, alpha, flip_weight):
 
 def _dconv_apply_so_fwd(x, w, f, bias, resid, gain, alpha, flip_weight):
     y = dconv_apply_so(x, w, f, bias, resid, gain, alpha, flip_weight)
-    return y, (x, w, f, bias, resid)
+    return y, (x, w, f, bias, resid, y)
 
 
 def _dconv_apply_so_bwd(gain, alpha, flip_weight, res, g):
     if so_native():
         from morphganformer_tpu.ops import pallas_conv as pc
 
-        x, w, f, bias, resid = res
-        y, K, q0 = pc._dconv_fwd_impl(x, w, f, bias, gain, alpha,
-                                      flip_weight, resid)
+        # Saved-y route: one adjoint launch; K/q0 are kernel-sized.
+        x, w, f, bias, resid, y = res
+        K, q0 = pc._dconv_compose(w, f, flip_weight)
         flags = _all_tok(pc, True, True, bias is not None,
                          resid is not None)
         res2 = (x, w, f, bias, resid, y, K, q0, flags)
         return pc._dconv_bwd_impl(gain, alpha, flip_weight, res2, g)
     _, vjp = jax.vjp(lambda *a: dconv_ref(*a, gain, alpha, flip_weight),
-                     *res)
+                     *res[:5])
     return vjp(g)
 
 
 dconv_apply_so.defvjp(_dconv_apply_so_fwd, _dconv_apply_so_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def dconv_bwd_so(x, w, f, bias, resid, g, gain, alpha, flip_weight):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def dconv_bwd_so(x, w, f, bias, resid, y, g, gain, alpha, flip_weight,
+                 flags_b):
+    """Inner backward from the SAVED y (no forward recompute); flags_b
+    mirrors _dconv_fwd's flag order (x, w, bias, resid) with the real
+    inner perturbation flags — R1's inner trace (D params frozen) skips
+    the dw taps."""
     from morphganformer_tpu.ops import pallas_conv as pc
 
-    y, K, q0 = pc._dconv_fwd_impl(x, w, f, bias, gain, alpha, flip_weight,
-                                  resid)
-    # Flag order of _dconv_fwd: (x, w, bias, resid).
-    flags = _all_tok(pc, True, True, bias is not None, resid is not None)
+    K, q0 = pc._dconv_compose(w, f, flip_weight)
+    flags = tuple(pc._tok(b) for b in flags_b)
     res = (x, w, f, bias, resid, y, K, q0, flags)
     return pc._dconv_bwd_impl(gain, alpha, flip_weight, res, g)
 
 
-def _dconv_bwd_so_fwd(x, w, f, bias, resid, g, gain, alpha, flip_weight):
-    outs = dconv_bwd_so(x, w, f, bias, resid, g, gain, alpha, flip_weight)
-    return outs, (x, w, f, bias, resid, g)
+def _dconv_bwd_so_fwd(x, w, f, bias, resid, y, g, gain, alpha, flip_weight,
+                      flags_b):
+    vals = tuple(a.value if a is not None else None
+                 for a in (x, w, f, bias, resid, y, g))
+    outs = dconv_bwd_so(*vals, gain, alpha, flip_weight, flags_b)
+    return outs, vals
 
 
-def _dconv_bwd_so_bwd(gain, alpha, flip_weight, res, cts):
+def _dconv_bwd_so_bwd(gain, alpha, flip_weight, flags_b, res, cts):
+    x, w, f, bias, resid, y, g = res
+    cts = tuple(_ct(c) for c in cts)
     if so_native():
         # Unmodulated stride-2 op (the D tower): no styles/demod, so the
-        # VJP-of-the-backward collapses to four launch-shaped terms with
-        # the mask locally constant:
+        # VJP-of-the-backward collapses to launch-shaped terms with the
+        # mask locally constant (recovered from the SAVED y):
         #   cx = convT(gu, cdw)          cw = wg(cdx, gu)
         #   cg = m*(conv(cdx, w) + conv(x, cdw) + bcast(cdbias)) + cdresid
-        # (cbias/cresid/cf are exactly zero; conv = the packed down-conv.)
+        # cx and cw ride ONE adjoint launch (the dw taps are
+        # kernel-independent, so the cdw-kernel launch carries both),
+        # and the two cg convs chain through the launch's resid slot.
+        # cbias/cresid/cf/cy are exactly zero.
         from morphganformer_tpu.ops import pallas_conv as pc
 
-        x, w, f, bias, resid, g = res
         cdx, cdw, cdf, cdb, cdr = cts
         n, h, wg_, lanes = x.shape
         cin, cout = w.shape[2], w.shape[3]
         Q = lanes // cin
         P = Q // 2
+        f32 = jnp.float32
 
-        def down_conv(a, k):
-            y_, _, _ = pc._dconv_fwd_impl(a, k, f, None, 1.0, 1.0,
-                                          flip_weight, None)
-            return y_
-
-        def down_adj(x_val, k, g_val, want_x, want_w):
-            K, q0 = pc._dconv_compose(k, f, flip_weight)
-            flags = _all_tok(pc, want_x, want_w, False, False)
-            res2 = (x_val, k, f, None, None, jnp.zeros_like(g_val), K, q0,
-                    flags)
-            return pc._dconv_bwd_impl(1.0, 1.0, flip_weight, res2, g_val)
-
-        # Recompute the activation output (pre-resid) for the mask.
-        y_act, _, _ = pc._dconv_fwd_impl(x, w, f, bias, gain, alpha,
-                                         flip_weight, None)
+        y_act = y - resid.astype(y.dtype) if resid is not None else y
         m = jnp.where(y_act >= 0, jnp.asarray(gain, g.dtype),
                       jnp.asarray(gain * alpha, g.dtype))
         gu = g * m
 
         cx = jnp.zeros_like(x)
         cw = jnp.zeros_like(w)
-        cg_pre = jnp.zeros(gu.shape, jnp.float32)
+        if cdw is not None or cdx is not None:
+            # Fused adjoint: dx-slot needs kernel cdw (for cx), the
+            # dw-taps are kernel-independent (for cw from cdx's stream).
+            kern = (cdw.astype(f32) if cdw is not None else w.astype(f32))
+            K2, q02 = pc._dconv_compose(kern, f, flip_weight)
+            # x_p must be set for the adjoint launch to fire at all
+            # (_dconv_bwd_impl's in-kernel dw taps ride it); with cdw
+            # dead the dx output is simply discarded.
+            flags2 = _all_tok(pc, True, cdx is not None, False, False)
+            x_stream = cdx if cdx is not None else jnp.zeros_like(x)
+            res2 = (x_stream, kern, f, None, None, jnp.zeros_like(g), K2,
+                    q02, flags2)
+            out = pc._dconv_bwd_impl(1.0, 1.0, flip_weight, res2, gu)
+            if cdw is not None:
+                cx = out[0].astype(x.dtype)
+            if cdx is not None:
+                cw = out[1].astype(w.dtype)
+
+        def down_conv(a, k, r=None):
+            y_, _, _ = pc._dconv_fwd_impl(a, k, f, None, 1.0, 1.0,
+                                          flip_weight, r)
+            return y_
+
+        cg_pre = None
         if cdw is not None:
-            cx = down_adj(jnp.zeros_like(x), cdw.astype(jnp.float32), gu,
-                          True, False)[0].astype(x.dtype)
-            cg_pre = cg_pre + down_conv(x, cdw.astype(x.dtype)
-                                        ).astype(jnp.float32)
+            cg_pre = down_conv(x, cdw.astype(x.dtype))
         if cdx is not None:
-            cw = down_adj(cdx, w, gu, False, True)[1].astype(w.dtype)
-            cg_pre = cg_pre + down_conv(cdx, w.astype(cdx.dtype)
-                                        ).astype(jnp.float32)
+            cg_pre = down_conv(cdx, w.astype(cdx.dtype), r=cg_pre)
+        cg_acc = (jnp.zeros(gu.shape, f32) if cg_pre is None
+                  else cg_pre.astype(f32))
         if bias is not None and cdb is not None:
-            cg_pre = cg_pre + jnp.tile(cdb.astype(jnp.float32), P)
-        cg = (m.astype(jnp.float32) * cg_pre).astype(g.dtype)
-        if resid is not None and cdr is not None:
+            cg_acc = cg_acc + jnp.tile(cdb.astype(f32), P)
+        cg = (m.astype(f32) * cg_acc).astype(g.dtype)
+        if cdr is not None:
             cg = cg + cdr.astype(cg.dtype)
         cbias = None if bias is None else jnp.zeros_like(bias)
         cresid = None if resid is None else jnp.zeros_like(resid)
-        return (cx, cw, jnp.zeros_like(f), cbias, cresid, cg)
+        return (cx, cw, jnp.zeros_like(f), cbias, cresid,
+                jnp.zeros_like(y), cg)
 
-    def cot_ref(x, w, f, bias, resid, g):
+    def cot_ref(x_, w_, f_, b_, r_, g_):
         _, vjp = jax.vjp(lambda *a: dconv_ref(*a, gain, alpha, flip_weight),
-                         x, w, f, bias, resid)
-        return vjp(g)
+                         x_, w_, f_, b_, r_)
+        return vjp(g_)
 
-    _, vjp2 = jax.vjp(cot_ref, *res)
-    return vjp2(cts)
+    outs_ref, vjp2 = jax.vjp(cot_ref, x, w, f, bias, resid, g)
+    cts_inst = tuple(jnp.zeros_like(o) if c is None and o is not None else c
+                     for c, o in zip(cts, outs_ref))
+    cx, cw, cf, cb, cr, cg = vjp2(cts_inst)
+    return (cx, cw, cf, cb, cr, jnp.zeros_like(y), cg)
 
 
-dconv_bwd_so.defvjp(_dconv_bwd_so_fwd, _dconv_bwd_so_bwd)
+dconv_bwd_so.defvjp(_dconv_bwd_so_fwd, _dconv_bwd_so_bwd,
+                    symbolic_zeros=True)

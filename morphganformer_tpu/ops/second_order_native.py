@@ -172,6 +172,226 @@ def modconv_bwd_explicit(x, w, s, noise, bias, g, gain, alpha, demodulate,
     return dx, dw, ds, dnoise, dbias
 
 
+def _recover_from_y(y_act, noise, bias, d, gain, alpha):
+    """(mask, z) from the saved activation output instead of a forward
+    launch: u = act_inv(y) = y/m exactly on both lrelu branches, and
+    z = (u - noise - bias)/d. The round-5 saved-residual route — the
+    value recovery replaces `_forward_pieces`'s conv launch, while z's
+    INPUT-dependence is handled by routing c_y back through the apply
+    op's backward (see modconv_bwd_vjp_from_y)."""
+    m = _mask(y_act, gain, alpha)
+    v = y_act / m
+    if noise is not None:
+        v = v - noise[..., None]
+    if bias is not None:
+        v = v - bias
+    z = v / d[:, None, None, :]
+    return m, z
+
+
+def modconv_bwd_from_y_explicit(x, w, s, noise, bias, y_act, g, gain, alpha,
+                                demodulate, conv_ops=None):
+    """First-order backward as a function of the SAVED output y_act
+    (pre-resid activation output) instead of recomputing the forward:
+    identical values to modconv_bwd_explicit when y_act is the true
+    forward output, but with y treated as an independent input — the
+    split whose VJP is modconv_bwd_vjp_from_y. Returns
+    (dx, dw, ds, dnoise, dbias)."""
+    conv, convT, wg = (conv_ops or default_conv_ops())[:3]
+    if demodulate:
+        wsq = jnp.sum(jnp.square(w), axis=(0, 1))
+        d = jax.lax.rsqrt(jnp.square(s) @ wsq + _EPS)
+    else:
+        wsq = None
+        d = jnp.ones((x.shape[0], w.shape[-1]), x.dtype)
+    m, z = _recover_from_y(y_act, noise, bias, d, gain, alpha)
+    xs = x * s[:, None, None, :]
+    gu = g * m
+    if noise is None:
+        dnoise = None
+    elif noise.ndim == 2:
+        dnoise = jnp.sum(gu, axis=(0, -1))
+    else:
+        dnoise = jnp.sum(gu, axis=-1)
+    dbias = None if bias is None else jnp.sum(gu, axis=(0, 1, 2))
+    dz = gu * d[:, None, None, :]
+    dxs = convT(dz, w)
+    dx = dxs * s[:, None, None, :]
+    ds = jnp.sum(x * dxs, axis=(1, 2))
+    dw = wg(xs, dz)
+    if demodulate:
+        dd = jnp.sum(gu * z, axis=(1, 2))
+        dq = -0.5 * d ** 3 * dd
+        ds = ds + 2.0 * s * (dq @ wsq.T)
+        dwsq = jnp.square(s).T @ dq
+        dw = dw + 2.0 * w * dwsq[None, None]
+    return dx, dw, ds, dnoise, dbias
+
+
+def modconv_bwd_vjp_from_y(x, w, s, noise, bias, y_act, g, cots, gain, alpha,
+                           demodulate, conv_ops=None, adj_op=None,
+                           conv_resid=None):
+    """Hand-derived VJP of modconv_bwd_from_y_explicit at output
+    cotangents `cots = (cdx, cdw, cds, cdnoise, cdbias)` (entries may be
+    None = structurally zero: the corresponding launches are SKIPPED —
+    in PL only cdx/cds are live, in R1 only cdx). Returns
+    (c_x, c_w, c_s, c_noise, c_bias, c_y, c_g) — c_y is the cotangent of
+    y_act, which the caller routes back through the apply op's backward
+    (one adjoint launch that ALREADY fires for the other y consumers);
+    that route carries what [L5]/[L6] of modconv_bwd_vjp_explicit
+    computed as separate launches, which is the point of the split.
+
+    Launch inventory (vs 8 in the recompute DAG):
+      A  = adj_op(dz, c_dxs, w)  -> (dxs, wg(c_dxs, dz))   [one launch]
+      B  = convT(dz, cdw)                                  [iff cdw]
+      L2 = conv(xs, cdw)                                   [iff cdw]
+      L3 = conv(c_dxs, w) [+L2 via the launch's resid slot when
+           conv_resid is provided]
+    Everything else is [N,Co]/[Ci,Co]-sized algebra or XLA-fused
+    elementwise. The fake z-dependence introduced by the y-recovery
+    (c_d/c_noise/c_bias recovery terms below) cancels exactly against
+    the y-route through the apply backward — see the split-consistency
+    test in tests/test_second_order_native.py."""
+    cdx, cdw, cds, cdn, cdb = cots
+    conv, convT, wg = (conv_ops or default_conv_ops())[:3]
+    if adj_op is None:
+        def adj_op(g_, x_, k_):
+            return convT(g_, k_), wg(x_, g_)
+    f32 = jnp.float32
+    # Dtype discipline on the hot path (bf16 production tensors): every
+    # x-sized stream stays in its input dtype; [N,C]/[C,O] demod algebra
+    # and all pixel reductions accumulate in f32 (casts fuse into the
+    # reduce pass — zero extra bytes). Matches _modconv_bwd_impl's
+    # first-order discipline.
+    s32 = s.astype(f32)
+    if demodulate:
+        wsq = jnp.sum(jnp.square(w.astype(f32)), axis=(0, 1))
+        d = jax.lax.rsqrt(jnp.square(s32) @ wsq + _EPS)
+    else:
+        wsq = None
+        d = jnp.ones((x.shape[0], w.shape[-1]), f32)
+    m, z = _recover_from_y(y_act, noise, bias, d.astype(y_act.dtype),
+                           gain, alpha)
+    sNx = s.astype(x.dtype)[:, None, None, :]
+    dNg = d.astype(g.dtype)[:, None, None, :]
+    gu = g * m
+    dz = gu * dNg
+
+    def red(t):
+        """sum over pixels -> [N, ch], f32 accumulator."""
+        return jnp.sum(t.astype(f32), axis=(1, 2))
+
+    c_gu = jnp.zeros_like(gu)
+    c_x = jnp.zeros_like(x)
+    c_w = jnp.zeros(w.shape, f32)
+    c_s = jnp.zeros(s.shape, f32)
+    c_d = jnp.zeros(d.shape, f32)
+
+    if cdb is not None:
+        c_gu = c_gu + cdb.astype(c_gu.dtype)[None, None, None, :]
+    if cdn is not None:
+        cdn_b = cdn[None, :, :, None] if cdn.ndim == 2 else cdn[..., None]
+        c_gu = c_gu + cdn_b.astype(c_gu.dtype)
+
+    # dx = dxs*s ; ds_conv = sum x*dxs, with dxs = convT(dz, w): launch A
+    # serves dxs from its dx slot and wg(c_dxs, dz) (the w-dependence of
+    # dxs) from its in-kernel dw taps — one streamed pass over (dz,
+    # c_dxs) where the recompute DAG took two.
+    c_dxs = None
+    if cdx is not None:
+        c_dxs = cdx * sNx
+    if cds is not None:
+        t = cds.astype(x.dtype)[:, None, None, :] * x
+        c_dxs = t if c_dxs is None else c_dxs + t
+    # dw_conv = wg(xs, dz): its xs/dz dependences ([B]/[L2], iff cdw).
+    c_xs = t2 = None
+    if cdw is not None:
+        xs = x * sNx
+        c_xs = convT(dz, cdw)                                    # [B]
+        t2 = conv(xs, cdw)                                       # [L2]
+
+    c_dz = t2
+    if c_dxs is not None:
+        dxs, cw_a = adj_op(dz, c_dxs, w)                         # [A]
+        c_w = c_w + cw_a.astype(f32)
+        if cdx is not None:
+            c_s = c_s + red(cdx * dxs)
+        if cds is not None:
+            c_x = c_x + (cds.astype(dxs.dtype)[:, None, None, :]
+                         * dxs).astype(c_x.dtype)
+        if t2 is not None and conv_resid is not None:
+            c_dz = conv_resid(c_dxs, w, t2)                      # [L3]+resid
+        else:
+            t3 = conv(c_dxs, w)                                  # [L3]
+            c_dz = t3 if c_dz is None else c_dz + t3
+
+    # Demod chain of the primal (dd/dq/dwsq): only live when cds or cdw.
+    c_z = None
+    if demodulate and (cds is not None or cdw is not None):
+        dd = red(gu * z)
+        dq = -0.5 * d ** 3 * dd
+        c_dq = jnp.zeros_like(dq)
+        c_wsq = jnp.zeros_like(wsq)
+        if cds is not None:
+            cds32 = cds.astype(f32)
+            c_s = c_s + 2.0 * cds32 * (dq @ wsq.T)
+            c_dq = c_dq + 2.0 * jnp.einsum("ni,ni,io->no", cds32, s32, wsq)
+            c_wsq = c_wsq + 2.0 * jnp.einsum("ni,ni,no->io", cds32, s32, dq)
+        if cdw is not None:
+            cdw32 = cdw.astype(f32)
+            dwsq = jnp.square(s32).T @ dq
+            c_w = c_w + 2.0 * cdw32 * dwsq[None, None]
+            c_dwsq = 2.0 * jnp.sum(cdw32 * w.astype(f32), axis=(0, 1))
+            c_s = c_s + 2.0 * s32 * jnp.einsum("io,no->ni", c_dwsq, dq)
+            c_dq = c_dq + jnp.einsum("io,ni->no", c_dwsq, jnp.square(s32))
+        c_d = c_d + (-1.5) * d ** 2 * dd * c_dq
+        c_dd = -0.5 * d ** 3 * c_dq
+        c_ddN = c_dd.astype(gu.dtype)[:, None, None, :]
+        c_gu = c_gu + z.astype(gu.dtype) * c_ddN
+        c_z = gu * c_ddN
+    elif demodulate:
+        c_wsq = jnp.zeros_like(wsq)
+    else:
+        c_wsq = None
+
+    # dz = gu*d
+    if c_dz is not None:
+        c_gu = c_gu + c_dz.astype(c_gu.dtype) * dNg
+        c_d = c_d + red(gu * c_dz.astype(gu.dtype))
+
+    # z = (y/m - nz - b)/d: the recovery's own (fake) dependences — the
+    # y part is the REAL route (apply-backward), the noise/bias/d parts
+    # cancel against it exactly (split-consistency test).
+    c_y = None
+    c_n = None if noise is None else jnp.zeros(noise.shape, f32)
+    c_b = None if bias is None else jnp.zeros(bias.shape, f32)
+    if c_z is not None:
+        dNy = d.astype(c_z.dtype)[:, None, None, :]
+        c_y = c_z / (m.astype(c_z.dtype) * dNy)
+        czd = c_z / dNy
+        if noise is not None:
+            rr = jnp.sum(czd.astype(f32), axis=-1)
+            c_n = -(jnp.sum(rr, axis=0) if noise.ndim == 2 else rr)
+        if bias is not None:
+            c_b = -jnp.sum(jnp.sum(czd.astype(f32), axis=(1, 2)), axis=0)
+        c_d = c_d - red(z.astype(czd.dtype) * czd)
+
+    # xs = x*s (from the cdw branch's c_xs)
+    if c_xs is not None:
+        c_x = c_x + (c_xs * sNx.astype(c_xs.dtype)).astype(c_x.dtype)
+        c_s = c_s + red(x * c_xs.astype(x.dtype))
+
+    # d = rsqrt(q+eps), q = s^2 @ wsq, wsq = sum w^2
+    if demodulate:
+        c_q = -0.5 * d ** 3 * c_d
+        c_s = c_s + 2.0 * s32 * (c_q @ wsq.T)
+        c_wsq = c_wsq + jnp.square(s32).T @ c_q
+        c_w = c_w + 2.0 * w.astype(f32) * c_wsq[None, None]
+
+    c_g = m * c_gu
+    return c_x, c_w, c_s, c_n, c_b, c_y, c_g
+
+
 def modconv_bwd_vjp_explicit(x, w, s, noise, bias, g, cots, gain, alpha,
                              demodulate, conv_ops=None):
     """Hand-derived VJP of modconv_bwd_explicit at output cotangents

@@ -28,6 +28,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -277,7 +278,7 @@ def _synth_jit(model, cfg, variables, latent):
 def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
             latent_mean, latent_std, rng=None,
             progress: Optional[Callable[[int, float, float], None]] = None,
-            init_latent=None) -> ProjectionResult:
+            init_latent=None, mesh=None) -> ProjectionResult:
     """Run the full projection. target: [1,H,W,3] NHWC in [-1,1].
 
     In W+ mode (cfg.w_plus) the optimized variable is the full per-layer
@@ -285,7 +286,16 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     stored z latent) is pushed through the mapping network with the
     configured truncation first. The latent-noise scale stays the z-prior
     std in both modes (the reference scripts only implement z-space,
-    1024_example_MSE.py:134-135)."""
+    1024_example_MSE.py:134-135).
+
+    `mesh`: optional jax.sharding.Mesh with a 'data' axis. The batch of
+    the projection scan (targets, latents, optimizer moments, per-image
+    best trackers — all per-row independent) is sharded over it with the
+    generator weights replicated, so the batch-2P morph scan scales
+    near-linearly over a pod slice (the DP model of
+    run_network.py:394-402 generalized to the morph product). Requires
+    batch %% n_devices == 0; equivalence vs single-device is pinned by
+    tests/test_parallel.py."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     k, z_dim = latent_mean.shape
     if init_latent is not None:
@@ -321,6 +331,35 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
     big = jnp.full((target.shape[0],), 1e30, jnp.float32)
     steps0 = jnp.zeros((target.shape[0],), jnp.int32)
     carry = (params0, opt_state, big, params0, steps0, rng)
+
+    shard_noise = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        ndev = int(np.prod(mesh.devices.shape))
+        batch = target.shape[0]
+        assert not opt_noise, \
+            "noise_regularize is batch-1; sharding needs a batch"
+        assert batch % ndev == 0, \
+            f"projection batch {batch} must divide the mesh ({ndev} devices)"
+        dsh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+
+        def put_batch(tree):
+            # Batch-leading leaves shard over 'data'; scalars (the adam
+            # count) replicate. The rng key is placed separately (its
+            # leading dim is 2, which can collide with batch == 2).
+            return jax.tree_util.tree_map(
+                lambda l: jax.device_put(
+                    l, dsh if getattr(l, "ndim", 0) >= 1
+                    and l.shape[0] == batch else rep), tree)
+
+        variables = jax.device_put(variables, rep)
+        target = jax.device_put(target, dsh)
+        carry = (*put_batch(carry[:5]), jax.device_put(rng, rep))
+        nsh = NamedSharding(mesh, P(None, "data"))
+        shard_noise = lambda ns: jax.device_put(ns, nsh)
 
     def run_chunk(carry, steps_slice, noise_seq):
         # Module-level jitted runner: static args are hashable (frozen
@@ -358,6 +397,8 @@ def project(model, variables, target, loss_fn, cfg: ProjectionConfig,
             break
         idx = jnp.arange(lo, hi)
         noise_seq = noise_for(lo, hi)
+        if shard_noise is not None:
+            noise_seq = shard_noise(noise_seq)
         carry, (chunk_losses, chunk_comps) = run_chunk(carry, idx, noise_seq)
         losses.append(chunk_losses)
         comps_hist.append(chunk_comps)

@@ -425,3 +425,28 @@ def dryrun_train_step(n_devices: int) -> None:
     mesh_desc = dict(zip(mesh.axis_names, mesh.devices.shape))
     print(f"dryrun_multichip ok on {n_devices} devices (mesh {mesh_desc}); "
           f"stats: { {k: round(float(jnp.mean(v)), 4) for k, v in stats.items()} }")
+
+    # The morph PRODUCT's multi-chip path, not just training (VERDICT r4
+    # #4): a tiny batch-2P projection scan sharded over a pure ('data',)
+    # mesh — params replicated, batch rows (targets/latents/adam
+    # moments/best trackers) sharded, exactly cli/morph.py --shard.
+    from morphganformer_tpu.losses.stack import build_loss_stack
+    from morphganformer_tpu.models import init_generator
+    from morphganformer_tpu.parallel.mesh import make_data_mesh
+    from morphganformer_tpu.projection.engine import (ProjectionConfig,
+                                                      latent_stats, project)
+
+    model, variables = init_generator(g_cfg, seed=0, batch=n_devices)
+    z = jax.random.normal(jax.random.PRNGKey(3),
+                          (n_devices, g_cfg.k, g_cfg.z_dim))
+    targets = model.apply(variables, z, noise_mode="const")
+    pcfg = ProjectionConfig(steps=2, chunk=2, n_mean_latent=64)
+    mean, std = latent_stats(model, variables, g_cfg, jax.random.PRNGKey(4),
+                             n_mean_latent=64)
+    res = project(model, variables, targets, build_loss_stack({"mse": 1.0}),
+                  pcfg, mean, std, rng=jax.random.PRNGKey(5),
+                  mesh=make_data_mesh(devices))
+    assert np.all(np.isfinite(np.asarray(res.per_image_loss)))
+    print(f"dryrun sharded projection ok: batch {n_devices} over "
+          f"('data',) x{n_devices}, per-image loss "
+          f"{[round(float(v), 4) for v in res.per_image_loss]}")

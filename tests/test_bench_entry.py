@@ -36,16 +36,17 @@ def test_headline_aot_phase_misses_fast(tmp_path):
 def test_headline_obj_schema():
     import bench
 
-    obj = bench._headline_obj(68.78, 0.2695, provisional=False,
+    obj = bench._headline_obj(68.78, 67.9, 0.2695, provisional=False,
                               exec_source="aot")
     assert obj["metric"] == "projection_1024_steps_per_sec"
     assert obj["unit"] == "steps/s"
     assert abs(obj["vs_baseline"] - 68.78 / (1000 / 30)) < 1e-3
     assert obj["detail"]["exec_source"] == "aot"
+    assert obj["detail"]["median_steps_per_sec"] == 67.9
     assert "provisional" not in obj["detail"]
     assert json.loads(json.dumps(obj)) == obj          # driver-parsable
 
-    prov = bench._headline_obj(21.88, 0.163, provisional=True,
+    prov = bench._headline_obj(21.88, 21.88, 0.163, provisional=True,
                                exec_source="compiled")
     assert prov["detail"]["provisional"] is True
 

@@ -44,6 +44,49 @@ def test_generation_batch_sharded_matches_single_device():
                                rtol=1e-4, atol=1e-4)
 
 
+@requires_8
+def test_projection_batch_sharded_matches_single_device():
+    """The batch-2P projection scan sharded over ('data',) must produce
+    the SAME latents/losses as the single-device run (VERDICT r4 #4: the
+    morph product's multi-chip story, not just training). Params are
+    replicated, the batch rows (targets, latents, adam moments, best
+    trackers) shard; every row is independent, so the math must be
+    bitwise-equivalent up to reduction order."""
+    import jax.numpy as jnp
+
+    from morphganformer_tpu.losses.stack import build_loss_stack
+    from morphganformer_tpu.models import init_generator
+    from morphganformer_tpu.parallel.mesh import make_data_mesh
+    from morphganformer_tpu.projection.engine import (ProjectionConfig,
+                                                      latent_stats, project)
+    from tests.test_models import small_cfg
+
+    cfg = small_cfg()
+    batch = 8          # 4 morph pairs — the cli/morph.py --shard shape
+    model, variables = init_generator(cfg, seed=0, batch=batch)
+    z = jax.random.normal(jax.random.PRNGKey(5), (batch, cfg.k, cfg.z_dim))
+    targets = model.apply(variables, z, noise_mode="const")
+
+    pcfg = ProjectionConfig(steps=6, chunk=3, n_mean_latent=256)
+    loss_fn = build_loss_stack({"mse": 1.0})
+    mean, std = latent_stats(model, variables, cfg, jax.random.PRNGKey(1),
+                             n_mean_latent=256)
+
+    ref = project(model, variables, targets, loss_fn, pcfg, mean, std,
+                  rng=jax.random.PRNGKey(2))
+    shr = project(model, variables, targets, loss_fn, pcfg, mean, std,
+                  rng=jax.random.PRNGKey(2), mesh=make_data_mesh())
+
+    np.testing.assert_allclose(np.asarray(shr.latent), np.asarray(ref.latent),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(shr.per_image_loss),
+                               np.asarray(ref.per_image_loss),
+                               rtol=2e-5, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(shr.loss_history),
+                               np.asarray(ref.loss_history),
+                               rtol=2e-5, atol=2e-7)
+
+
 def test_grad_accumulation_matches_full_batch():
     """batch 8 @ batch_gpu 2 (4 scan rounds) must produce the same G and D
     updates as one full-batch step (VERDICT r1 #2). Stochastic pieces

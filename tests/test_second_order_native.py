@@ -98,6 +98,78 @@ def test_second_order_vjp_matches_autodiff(demod, with_extras):
 
 
 @pytest.mark.parametrize("demod", [False, True])
+@pytest.mark.parametrize("live", ["all", "pl", "r1"])
+def test_second_order_vjp_from_y_matches_autodiff(demod, live):
+    """Round-5 saved-residual route: the hand VJP of the backward
+    WRITTEN AGAINST THE SAVED y (modconv_bwd_vjp_from_y) vs jax.vjp of
+    modconv_bwd_from_y_explicit with y as an independent input. The
+    `live` axis exercises the structural-zero cotangent skips (PL keeps
+    cdx/cds, R1 keeps only cdx)."""
+    x, w, s, noise, bias, g = _pieces(demod)
+    y = sn.modconv_fwd_explicit(x, w, s, noise, bias, GAIN, ALPHA, demod)
+    rng = np.random.RandomState(7)
+    cdx = jnp.asarray(rng.randn(*x.shape), jnp.float32)
+    cdw = jnp.asarray(rng.randn(*w.shape), jnp.float32)
+    cds = jnp.asarray(rng.randn(*s.shape), jnp.float32)
+    cdn = jnp.asarray(rng.randn(*noise.shape), jnp.float32)
+    cdb = jnp.asarray(rng.randn(*bias.shape), jnp.float32)
+    if live == "pl":
+        cdw = cdn = cdb = None
+    elif live == "r1":
+        cdw = cds = cdn = cdb = None
+
+    def first_order(xx, ww, ss, nn, bb, yy, gg):
+        return sn.modconv_bwd_from_y_explicit(xx, ww, ss, nn, bb, yy, gg,
+                                              GAIN, ALPHA, demod)
+
+    cots_in = tuple(c if c is not None else jnp.zeros_like(p)
+                    for c, p in zip((cdx, cdw, cds, cdn, cdb),
+                                    first_order(x, w, s, noise, bias, y, g)))
+    auto = jax.vjp(first_order, x, w, s, noise, bias, y, g)[1](cots_in)
+
+    hand = sn.modconv_bwd_vjp_from_y(
+        x, w, s, noise, bias, y, g, (cdx, cdw, cds, cdn, cdb), GAIN, ALPHA,
+        demod)
+    names = ["cx", "cw", "cs", "cnoise", "cbias", "cy", "cg"]
+    for name, a, b in zip(names, auto, hand):
+        if b is None:
+            b = jnp.zeros_like(a)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("demod", [False, True])
+def test_from_y_split_consistency(demod):
+    """The split total must equal the recompute total: vjp_from_y's cots
+    PLUS c_y routed through jax.vjp of the forward == jax.vjp of the
+    recompute-based backward (the round-4 semantics). This pins the
+    claim that the fake z-recovery dependences (c_d/c_noise/c_bias
+    terms) cancel exactly against the y-route — i.e. that routing c_y
+    through the apply op's backward reproduces [L5]/[L6]."""
+    x, w, s, noise, bias, g = _pieces(demod, seed=4)
+    rng = np.random.RandomState(11)
+    cots = tuple(jnp.asarray(rng.randn(*t.shape), jnp.float32)
+                 for t in (x, w, s, noise, bias))
+
+    full = sn.modconv_bwd_vjp_explicit(x, w, s, noise, bias, g, cots,
+                                       GAIN, ALPHA, demod)
+
+    y, fwd_vjp = jax.vjp(
+        lambda xx, ww, ss, nn, bb: sn.modconv_fwd_explicit(
+            xx, ww, ss, nn, bb, GAIN, ALPHA, demod), x, w, s, noise, bias)
+    cx, cw, cs, cn, cb, cy, cg = sn.modconv_bwd_vjp_from_y(
+        x, w, s, noise, bias, y, g, cots, GAIN, ALPHA, demod)
+    if cy is None:
+        cy = jnp.zeros_like(y)
+    ax, aw, as_, an, ab = fwd_vjp(cy)
+    split = (cx + ax, cw + aw, cs + as_, cn + an, cb + ab, cg)
+    for name, a, b in zip(["cx", "cw", "cs", "cnoise", "cbias", "cg"],
+                          full, split):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("demod", [False, True])
 def test_second_order_vjp_upconv_geometry(demod):
     """The same DAG with the 2x-up conv primitives (lhs-dilation-2, L=4 —
     the composed-FIR geometry of fused_packed_upconv2): proves the
