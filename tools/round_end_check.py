@@ -95,6 +95,28 @@ def main():
              "commit the AOT store")
     print(f"ok: AOT store committed ({len(manifest)} blobs)")
 
+    # 2b. History-growth gate (ROADMAP round-5 policy): at most ONE blob
+    # mint generation per round. A round starts at the driver's
+    # "round N: VERDICT + ADVICE + BENCH" commit.
+    boundary = subprocess.run(
+        ["git", "-C", REPO, "log", "--grep", "^round .*: VERDICT",
+         "-n", "1", "--format=%H"],
+        capture_output=True, text=True).stdout.strip()
+    if boundary:
+        rng = f"{boundary}..HEAD"
+        churn = subprocess.run(
+            ["git", "-C", REPO, "log", "--format=%h %s", rng,
+             "--", ".bench_aot/*.aot.gz"],
+            capture_output=True, text=True).stdout.strip().splitlines()
+        if len(churn) > 1:
+            fail(f"{len(churn)} commits touched .bench_aot blobs this "
+                 f"round (policy: one re-mint per round):\n"
+                 + "\n".join(churn),
+                 "squash the mint commits before round end "
+                 "(git rebase -i / reset + re-commit once)")
+        print(f"ok: blob churn this round = {len(churn)} commit(s) "
+              f"(policy <= 1)")
+
     # 3. Program fingerprint matches HEAD.
     p = subprocess.run(
         [sys.executable,

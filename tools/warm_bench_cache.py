@@ -13,6 +13,15 @@ compile at all, keyed only by program name + runtime version.
   python tools/warm_bench_cache.py          # mint all AOT blobs on-chip
   python tools/warm_bench_cache.py --verify # fresh-process cold-run proof
   python tools/warm_bench_cache.py --fresh  # delete the store first
+  python tools/warm_bench_cache.py --only train   # partial re-mint
+
+History-growth policy (ROADMAP round 5 / VERDICT r4 #6): each committed
+blob generation is permanent git history (~100-200 MB), so re-mint at
+most once per round and use `--only <phase...>` to re-mint just the
+phases whose programs actually drifted (headline_fingerprint --check
+names the drifted group: xla_ir_sha -> headline-xla, packed_jaxpr_sha ->
+headline + secondary, train_stage_sha -> train). Unchanged blobs are
+left byte-identical on disk so the commit carries no delta for them.
 
 Run with NOTHING else using the TPU: the axon relay wedges under
 concurrent clients (see ROADMAP.md infrastructure notes).
@@ -78,7 +87,40 @@ def main():
                          "existing AOT store")
     ap.add_argument("--fresh", action="store_true",
                     help="delete the AOT store first (full re-mint)")
+    ap.add_argument("--only", nargs="+",
+                    choices=["headline", "headline-xla", "secondary",
+                             "train"],
+                    help="partial re-mint: run only these bench phases "
+                         "with minting on (history-growth policy)")
     args = ap.parse_args()
+
+    if args.only:
+        env = {**os.environ,
+               "MGT_BENCH_ALLOW_COMPILE": "1", "MGT_BENCH_SAVE_AOT": "1",
+               "MGT_BENCH_DEADLINE": "100000",
+               "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO,
+                                                         ".bench_cache")}
+        phase_map = {"headline": "headline-aot"}
+        ok = True
+        for phase in args.only:
+            t0 = time.time()
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--phase", phase_map.get(phase, phase)],
+                capture_output=True, text=True, env=env)
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            print(f"[only:{phase}] rc={p.returncode} "
+                  f"wall={time.time()-t0:.0f}s json={lines}")
+            for l in p.stderr.splitlines():
+                if "[bench" in l:
+                    print(f"[only:{phase}] {l}")
+            ok = ok and p.returncode == 0 and bool(lines)
+        _write_fingerprint()
+        manifest = os.path.join(AOT_DIR, "MANIFEST.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                print("manifest:", json.dumps(json.load(f), indent=1))
+        sys.exit(0 if ok else 1)
 
     if args.fresh:
         import shutil
