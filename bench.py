@@ -377,7 +377,8 @@ def phase_secondary():
 def _train_phase_impl():
     """Training anchor (VERDICT r3 #3): amortized 1024^2 batch-4 train-step
     throughput over the lazy-regularization schedule
-    (G_main + G_reg/4 + D_main + D_reg/16 + EMA). Runs in its own process:
+    (G_main + G_reg/4 + D_main(+EMA tail) + D_reg/16). Runs in its own
+    process:
     HBM at 1024^2 batch 4 cannot hold these executables next to the
     projection/generation ones."""
     jax = _setup_jax_process()
@@ -390,7 +391,7 @@ def _train_phase_impl():
     from morphganformer_tpu.utils import aot_cache
 
     stage_names = ["train_g_main", "train_g_reg", "train_d_main",
-                   "train_d_reg", "train_ema"]
+                   "train_d_reg"]
     if not _ALLOW_COMPILE:
         # Probe before paying for trainer init (itself a heavy compile).
         missing = {n: aot_cache.probe(AOT_DIR, n) for n in stage_names}
@@ -430,8 +431,6 @@ def _train_phase_impl():
         ("train_d_reg", lambda st: GANTrainer.d_reg_step.lower(
             trainer, st, realm, None),
          lambda comp, st: comp(st, realm, None)[0]),
-        ("train_ema", lambda st: GANTrainer.ema_step.lower(trainer, st),
-         lambda comp, st: comp(st)),
     ]
     times_ms = {}
     reps = 8
@@ -446,9 +445,10 @@ def _train_phase_impl():
         float(jnp.sum(state["pl_mean"]))
         times_ms[name] = (time.perf_counter() - t0) / reps * 1e3
         _log(f"{name}: {times_ms[name]:.1f} ms")
+    # EMA rides d_main's tail since round 5 (train_step._ema_tail) —
+    # the amortized step is the four lazy-reg stages.
     amortized = (times_ms["train_g_main"] + times_ms["train_g_reg"] / 4.0
-                 + times_ms["train_d_main"] + times_ms["train_d_reg"] / 16.0
-                 + times_ms["train_ema"])
+                 + times_ms["train_d_main"] + times_ms["train_d_reg"] / 16.0)
     _emit({"metric": "train_1024_imgs_per_sec",
            "value": round(batch / (amortized / 1e3), 2), "unit": "imgs/s",
            "detail": {k: round(v, 1) for k, v in times_ms.items()}})

@@ -299,7 +299,28 @@ class GANTrainer:
                                              state["d"]["params"])
         state["d"]["params"] = optax.apply_updates(state["d"]["params"], updates)
         state["d_opt"] = new_opt
+        # End-of-iteration EMA, folded into the last every-iteration stage
+        # (round 5): G params only change in g_main/g_reg, both of which
+        # run before d_main, and the D stages never touch them — so the
+        # blend here equals the reference's post-stages update_ema
+        # (training_loop.py:212-224) while eliminating a whole executable
+        # dispatch (the standalone ema_step measured 11.8-29 ms/iteration
+        # on the relay for ~0.5 ms of HBM-bound work: per-call dispatch
+        # overhead over ~150 small fused kernels, now amortized into this
+        # program's stream).
+        self._ema_tail(state)
         return state, aux
+
+    def _ema_tail(self, state):
+        """Apply the EMA blend + nimg advance in-place on a donated state
+        (shared by d_main_step's tail and the standalone ema_step)."""
+        beta = ema_beta(self.cfg.batch_size, state["cur_nimg"],
+                        self.cfg.ema_kimg, self.cfg.ema_rampup)
+        state["gs_params"] = ema_update(state["gs_params"],
+                                        state["g"]["params"], beta)
+        if "moving_stats" in state["g"]:
+            state["gs_stats"] = state["g"]["moving_stats"]
+        state["cur_nimg"] = state["cur_nimg"] + self.cfg.batch_size
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def d_reg_step(self, state, real_img, c):
@@ -327,13 +348,10 @@ class GANTrainer:
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def ema_step(self, state):
-        beta = ema_beta(self.cfg.batch_size, state["cur_nimg"],
-                        self.cfg.ema_kimg, self.cfg.ema_rampup)
-        state["gs_params"] = ema_update(state["gs_params"], state["g"]["params"],
-                                        beta)
-        if "moving_stats" in state["g"]:
-            state["gs_stats"] = state["g"]["moving_stats"]
-        state["cur_nimg"] = state["cur_nimg"] + self.cfg.batch_size
+        """Standalone EMA executable. No longer on the train_iteration
+        path (d_main_step applies the blend in its tail); kept for direct
+        use and the historical bench A/B."""
+        self._ema_tail(state)
         return state
 
     # -------------- one full iteration --------------
@@ -369,7 +387,7 @@ class GANTrainer:
         if self.cfg.d_reg_interval and step % self.cfg.d_reg_interval == 0:
             state, aux = self.d_reg_step(state, real_img, c)
             stats.update(aux)
-        state = self.ema_step(state)
+        # EMA + cur_nimg advance ride d_main_step's tail (see _ema_tail).
         return state, stats
 
 

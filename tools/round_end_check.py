@@ -35,8 +35,7 @@ AOT_DIR = os.path.join(REPO, ".bench_aot")
 REQUIRED = ["headline_b1"]
 WANTED = ["headline_b1", "headline_xla_b1", "headline_b2",
           "headline_b8", "gen_b8",
-          "train_g_main", "train_g_reg", "train_d_main", "train_d_reg",
-          "train_ema"]
+          "train_g_main", "train_g_reg", "train_d_main", "train_d_reg"]
 
 
 def fail(msg, fix):
