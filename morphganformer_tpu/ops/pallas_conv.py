@@ -52,6 +52,7 @@ experiments were pruned in round 4 — ROADMAP.md keeps their records):
 from __future__ import annotations
 
 import functools
+import os
 
 from morphganformer_tpu.ops.conv2d_resample import _compose_kernel_fir
 
@@ -444,6 +445,29 @@ def conv3x3_same_packed(x, w, pack=None):
     return y.reshape(n, h, width, o)
 
 
+def _vmem_budget_bytes():
+    """Trace-time VMEM budget for the row-tile pickers. Default 10 MB —
+    the round-2 conservative figure, now known to leave streaming on the
+    table at 1024^2 (tile_h=8 -> 512 tile steps/launch; v5e VMEM is
+    128 MB). MGT_VMEM_BUDGET_MB overrides for the round-5 tile-height
+    A/B (tools/profile_tile_budget.py); the winning value is baked in
+    below once measured."""
+    return int(os.environ.get("MGT_VMEM_BUDGET_MB", "10")) * 1024 * 1024
+
+
+def _mosaic_params():
+    """Mosaic compiler params for the packed launches: raise the scoped
+    VMEM limit alongside the tile-picker budget (the default Mosaic cap
+    rejects tiles above ~10 MB of scratch+blocks; the round-5 sweep
+    needs headroom to even compile taller tiles). None when the budget
+    is at its default, keeping the shipped program byte-identical."""
+    budget = _vmem_budget_bytes()
+    if budget <= 10 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(int(budget * 2.2), 120 * 1024 * 1024))
+
+
 def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2, extra_blocks=0,
                      fixed_extra=0):
     """VMEM-budgeted row-tile height for the fused modconv kernel.
@@ -451,7 +475,7 @@ def _pick_tile_h_mod(h, pc, po, wg, use_noise, esize=2, extra_blocks=0,
     extra_blocks: additional pipelined output-sized input blocks (the
     backward dd-tap inputs y / packed noise). fixed_extra: tile-height-
     independent VMEM bytes (the grid-resident dw accumulator)."""
-    budget = 10 * 1024 * 1024 - fixed_extra
+    budget = _vmem_budget_bytes() - fixed_extra
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
     for tile in (128, 64, 32, 16, 8, 4, 2, 1):
         if h % tile:
@@ -609,6 +633,7 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
             pltpu.VMEM((2, tile_h + 2, wgp, pc), xp.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),   # per slot: body/top/bottom
         ],
+        compiler_params=_mosaic_params(),
     )(*args)
     return out
 
