@@ -36,6 +36,34 @@ _cache_dir = os.path.join(
         "MGT_TEST_JAX_CACHE",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache")),
     host_fingerprint())
+
+# Committed seed cache (round 5, VERDICT r4 #5): tests/_cache_seed/<fp>/
+# holds gzip'd XLA:CPU cache entries minted on a known host. When the
+# active cache dir is missing an entry for THIS host's fingerprint, it is
+# seeded from the committed copy, turning a fully-cold suite run
+# (~24 min, ~40 distinct 15-75 s compiles on this one-CPU box) into a
+# warm one. Host-fingerprint scoping keeps cross-host loads impossible
+# (a cross-host XLA:CPU entry segfaulted the suite in round 3 — see
+# utils/compile_cache.py); on a re-provisioned host the seed simply
+# misses and the suite compiles as before.
+_seed_dir = os.path.join(os.path.dirname(__file__), "_cache_seed",
+                         host_fingerprint())
+if os.path.isdir(_seed_dir):
+    import gzip as _gzip
+
+    os.makedirs(_cache_dir, exist_ok=True)
+    for _name in os.listdir(_seed_dir):
+        if not _name.endswith(".gz"):
+            continue
+        _dst = os.path.join(_cache_dir, _name[:-3])
+        if not os.path.exists(_dst):
+            with _gzip.open(os.path.join(_seed_dir, _name), "rb") as _f:
+                _data = _f.read()
+            _tmp = _dst + ".tmp"
+            with open(_tmp, "wb") as _f:
+                _f.write(_data)
+            os.replace(_tmp, _dst)
+
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
