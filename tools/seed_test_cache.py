@@ -29,10 +29,13 @@ from morphganformer_tpu.utils.compile_cache import host_fingerprint
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--min-kb", type=int, default=64,
-                    help="skip entries smaller than this (their compiles "
-                         "are fast anyway)")
+    ap.add_argument("--min-kb", type=int, default=0,
+                    help="skip entries smaller than this")
     ap.add_argument("--cache-dir", default=os.path.join(REPO, ".jax_cache"))
+    ap.add_argument("--force", action="store_true",
+                    help="rewrite entries that already exist in the seed "
+                         "(default: append-only, so committed blobs stay "
+                         "byte-identical and git stores no delta for them)")
     args = ap.parse_args()
 
     fp = host_fingerprint()
@@ -42,7 +45,9 @@ def main():
         sys.exit(f"no populated cache at {src} — run the suite first")
     os.makedirs(dst, exist_ok=True)
 
-    total_raw = total_gz = n = skipped = 0
+    import io
+
+    total_raw = total_gz = n = skipped = existing = 0
     for name in sorted(os.listdir(src)):
         path = os.path.join(src, name)
         if not os.path.isfile(path):
@@ -51,10 +56,19 @@ def main():
         if raw < args.min_kb * 1024:
             skipped += 1
             continue
+        out = os.path.join(dst, name + ".gz")
+        if os.path.exists(out) and not args.force:
+            existing += 1
+            continue
         with open(path, "rb") as f:
             data = f.read()
-        blob = gzip.compress(data, compresslevel=6)
-        out = os.path.join(dst, name + ".gz")
+        # Deterministic gzip (mtime=0): re-minting an unchanged entry
+        # reproduces identical bytes, so git stores no new delta.
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6,
+                           mtime=0) as gz:
+            gz.write(data)
+        blob = buf.getvalue()
         tmp = out + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
@@ -62,9 +76,9 @@ def main():
         total_raw += raw
         total_gz += len(blob)
         n += 1
-    print(f"seeded {n} entries ({skipped} small ones skipped) for host "
-          f"{fp}: {total_raw/1e6:.0f} MB raw -> {total_gz/1e6:.0f} MB "
-          f"gzip'd at {dst}")
+    print(f"seeded {n} new entries ({existing} already present, {skipped} "
+          f"below size floor) for host {fp}: {total_raw/1e6:.0f} MB raw -> "
+          f"{total_gz/1e6:.0f} MB gzip'd at {dst}")
 
 
 if __name__ == "__main__":
