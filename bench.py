@@ -550,7 +550,21 @@ def main():
                     "detail": {"error": "no phase produced a headline"}}
         _emit(headline)
 
-    # 3. Secondary anchors, budget permitting.
+    # 3. Training anchor, budget permitting. Runs BEFORE the secondary
+    # anchors since round 5: it carries the round's reg-stage/EMA-fold
+    # result, and on a slow-relay window the later phase is the one that
+    # gets squeezed (the morph/gen anchors are stable round-over-round).
+    if _ALLOW_COMPILE or _budget() > 90.0:
+        for obj in _run_phase("train",
+                              timeout=None if _ALLOW_COMPILE
+                              else max(60.0, _budget() - 260.0)):
+            if obj.get("metric") == "train_1024_imgs_per_sec":
+                headline["detail"]["train_1024_imgs_per_sec"] = obj["value"]
+                headline["detail"]["train_stage_ms"] = obj.get("detail")
+    else:
+        _log(f"skipping train anchor ({_budget():.0f}s budget left)")
+
+    # 4. Secondary anchors, budget permitting.
     if _ALLOW_COMPILE or _budget() > 100.0:
         for obj in _run_phase("secondary",
                               timeout=None if _ALLOW_COMPILE
@@ -564,17 +578,6 @@ def main():
                     obj["value"]
     else:
         _log(f"skipping secondary anchors ({_budget():.0f}s budget left)")
-
-    # 4. Training anchor, budget permitting.
-    if _ALLOW_COMPILE or _budget() > 90.0:
-        for obj in _run_phase("train",
-                              timeout=None if _ALLOW_COMPILE
-                              else max(60.0, _budget() - 15.0)):
-            if obj.get("metric") == "train_1024_imgs_per_sec":
-                headline["detail"]["train_1024_imgs_per_sec"] = obj["value"]
-                headline["detail"]["train_stage_ms"] = obj.get("detail")
-    else:
-        _log(f"skipping train anchor ({_budget():.0f}s budget left)")
 
     # Final line repeats the headline (now with merged detail) so last-line
     # parsers agree with first-line parsers.
