@@ -55,6 +55,29 @@ def _kernel(x_hbm, w_ref, s_ref, d_ref, noise_ref, bias_ref, o_ref,
                                   tile_h + 2)],
                 x_vmem.at[s, pl.ds(0, tile_h + 2), pl.ds(8, wg)],
                 sems.at[s, 0])]
+        if variant in ("splitdma2", "splitdma4"):
+            # Per-stream-ceiling probe (round 5): the body copy split into
+            # K parallel row-chunk copies, each on its own DMA semaphore.
+            # Single launches stream at only 150-225 GB/s while two
+            # co-scheduled launches reach ~310 aggregate (roofline +
+            # fwd-vs-adj A/Bs) — if the ceiling is per-DMA-stream, more
+            # concurrent copies should lift a lone launch too.
+            K = 2 if variant == "splitdma2" else 4
+            ch = tile_h // K
+            ops = [pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 + k * ch, ch)],
+                x_vmem.at[s, pl.ds(1 + k * ch, ch), pl.ds(8, wg)],
+                sems.at[s, k]) for k in range(K)]
+            if n_i > 1:
+                ops.append(pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(jnp.maximum(row0 - 1, 0), 1)],
+                    x_vmem.at[s, pl.ds(0, 1), pl.ds(8, wg)],
+                    sems.at[s, K]))
+                ops.append(pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(jnp.minimum(row0 + tile_h, h - 1), 1)],
+                    x_vmem.at[s, pl.ds(tile_h + 1, 1), pl.ds(8, wg)],
+                    sems.at[s, K + 1]))
+            return ops
         ops = [pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(row0, tile_h)],
             x_vmem.at[s, pl.ds(1, tile_h), pl.ds(8, wg)], sems.at[s, 0])]
@@ -124,7 +147,8 @@ def _kernel(x_hbm, w_ref, s_ref, d_ref, noise_ref, bias_ref, o_ref,
 
     xs = x_vmem[slot] * _row_select(s_ref, b)[None, None, :]
     acc = jnp.zeros((tile_h * wg, po), jnp.float32)
-    if variant in ("base", "slim", "nonoise", "pixnoise", "onedma"):
+    if variant in ("base", "slim", "nonoise", "pixnoise", "onedma",
+                   "splitdma2", "splitdma4"):
         for dy in range(3):
             for dx in range(3):
                 win = xs[dy:dy + tile_h, 7 + dx:7 + dx + wg, :].reshape(
@@ -240,7 +264,8 @@ def run_variant(xp, kp, s_p, d_p, noise_p, bias_p, variant, tile_h):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 2, wgp, pc), xp.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA(
+                (2, {"splitdma2": 4, "splitdma4": 6}.get(variant, 3))),
         ],
     )(*args)
     return out
