@@ -29,7 +29,7 @@ def frechet_distance(mu1, cov1, mu2, cov2):
     """FID between two Gaussians (reference
     frechet_inception_distance.py:20-26)."""
     m = np.square(mu1 - mu2).sum()
-    s, _ = scipy.linalg.sqrtm(np.dot(cov1, cov2), disp=False)
+    s = scipy.linalg.sqrtm(np.dot(cov1, cov2))
     fid = np.real(m + np.trace(cov1 + cov2 - s * 2))
     return float(fid)
 

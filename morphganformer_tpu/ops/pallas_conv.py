@@ -339,7 +339,7 @@ def conv3x3_same_pallas(x, w):
         grid=(n, h // tile_h),
         interpret=jax.default_backend() == "cpu",  # tests run interpreted
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # stays in HBM
             pl.BlockSpec((3, 3, c, o), lambda b, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -540,7 +540,7 @@ def _modconv_pallas(xp, kp, s_p, d_p, noise_p, bias_p, gain, alpha,
                                            if dw_taps else 0))
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),              # x stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),              # x stays in HBM
         pl.BlockSpec((3, 3, pc, po), lambda b, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),   # styles [N, PC]
@@ -1472,7 +1472,7 @@ def _packed_upconv_pallas(xp, blk, s_p, d_p, noise_p, bias_p, gain, alpha,
             break
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((3, 3, pc, qo), lambda b, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 3, pc, qo), lambda b, i: (0, 0, 0, 0),
@@ -1589,7 +1589,7 @@ def _packed_downconv_pallas(gp, kdown, mask=None, scale=None, dot_with=None,
         mask = ((True,) * 3,) * 6
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((6, 3, qo, pc), lambda b, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]

@@ -220,7 +220,7 @@ def run_variant(xp, kp, s_p, d_p, noise_p, bias_p, variant, tile_h):
     wgp = 8 + (-(-(wg + 1) // 8) * 8)
     n_i = h // tile_h
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((3, 3, pc, po), lambda b, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
